@@ -1,0 +1,105 @@
+"""Configuration dataclasses — the three-tier config system.
+
+The reference has compile-time defines (`defines.h`), a CLI (`ArgParser`,
+`Particles.cpp:248-270`) and runtime GUI toggles with prev-value change
+detection (`Particles.cpp:162-166,458-463`). Here the same split is:
+
+- `SimConfig` / `RenderConfig`: static-under-jit parameters. Changing one
+  forces a retrace, the analog of the reference's pipeline rebuild.
+- `AppConfig`: runtime-mutable knobs (counts, size, intensity, mode flags)
+  that flow through without retracing (or with cached bucketed retraces for
+  the decoupled counts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from multi_adapter_particles_tpu import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Physics + sizing parameters for the simulation step.
+
+    Defaults reproduce the reference exactly (`Compute.cpp:543-546`,
+    `nBodyGravityCS.hlsl:37-38`).
+    """
+
+    num_particles: int = C.DEFAULT_NUM_PARTICLES
+    dt: float = C.TIMESTEP
+    damping: float = C.DAMPING
+    mass: float = C.PARTICLE_MASS
+    softening_squared: float = C.SOFTENING_SQUARED
+    # 'central_well' = the shipped CSMain (nBodyGravityCS.hlsl:85-109).
+    # 'all_pairs'    = the tiled O(N^2) bodyBodyInteraction model
+    #                  (nBodyGravityCS.hlsl:44-57, unused upstream but kept).
+    force_model: str = "central_well"
+    # Multiplier applied per interaction in the all-pairs model — the
+    # `particles` argument of bodyBodyInteraction (nBodyGravityCS.hlsl:54).
+    interaction_scale: float = 1.0
+
+    def __post_init__(self):
+        if self.num_particles <= 0:
+            raise ValueError("num_particles must be positive")
+        if self.force_model not in ("central_well", "all_pairs"):
+            raise ValueError(f"unknown force_model {self.force_model!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Camera + splat parameters (`Render.cpp:139,776`, `defines.h:40-41`)."""
+
+    width: int = C.DEFAULT_WINDOW_WIDTH
+    height: int = C.DEFAULT_WINDOW_HEIGHT
+    fov_y: float = C.CAMERA_FOV_Y
+    near: float = C.CAMERA_NEAR
+    far: float = C.CAMERA_FAR
+    camera_position: Tuple[float, float, float] = C.CAMERA_POSITION
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+
+@dataclasses.dataclass
+class AppConfig:
+    """Runtime-mutable application knobs.
+
+    Field names intentionally track the reference's CLI flags
+    (`Particles.cpp:251-267`): numparticles, numsim, numcopy, numdraw, size,
+    intensity, nogui, novsync, fullscreen, noext.
+    """
+
+    num_particles: int = C.DEFAULT_NUM_PARTICLES
+    # Decoupled pipeline-stage counts (`Particles.cpp:265-267`): number of
+    # particles simulated / transferred / drawn each frame. None = linked to
+    # num_particles (the GUI "link" toggle, `Particles.cpp:379-394`).
+    num_sim: Optional[int] = None
+    num_copy: Optional[int] = None
+    num_draw: Optional[int] = None
+    linked: bool = True
+
+    particle_size: float = C.INITIAL_PARTICLE_SIZE
+    particle_intensity: float = C.INITIAL_PARTICLE_INTENSITY
+
+    gui: bool = True
+    vsync: bool = True
+    fullscreen: bool = False
+    # The Intel command-queue throttle extension analog: request
+    # max-performance scheduling for the compute role (ExtensionHelper.h:138).
+    # On TPU this is a no-op placeholder kept for config parity.
+    use_queue_extension: bool = True
+
+    def resolved_counts(self) -> Tuple[int, int, int]:
+        """(num_sim, num_copy, num_draw) with link semantics applied."""
+        if self.linked:
+            n = self.num_particles
+            return n, n, n
+        n = self.num_particles
+        return (
+            min(self.num_sim if self.num_sim is not None else n, n),
+            min(self.num_copy if self.num_copy is not None else n, n),
+            min(self.num_draw if self.num_draw is not None else n, n),
+        )

@@ -1,0 +1,156 @@
+"""Headless CLI application — WinMain + message pump analog.
+
+Flag set tracks the reference (`Particles.cpp:251-267`): numparticles,
+nogui, noext, size, intensity, novsync, fullscreen, numCopy, numDraw,
+numSim; `?` prints help (`ArgParser.h:105-127`). TPU-native extensions:
+steps, seed, force model, adapter indices, frame dumping, metrics JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional
+
+from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
+from multi_adapter_particles_tpu.utils.argparser import ArgParser
+
+
+def build_parser(app: AppConfig, extra: dict) -> ArgParser:
+    p = ArgParser("multi_adapter_particles_tpu — TPU-native particle sim + render")
+
+    def set_attr(name):
+        return lambda v: setattr(app, name, v)
+
+    p.add_int("numparticles", "number of particles", set_attr("num_particles"))
+    p.add_float("size", "particle size", set_attr("particle_size"))
+    p.add_float("intensity", "particle sprite intensity", set_attr("particle_intensity"))
+    p.add_flag("nogui", "disable the dashboard overlay",
+               lambda: setattr(app, "gui", False))
+    p.add_flag("novsync", "disable frame pacing",
+               lambda: setattr(app, "vsync", False))
+    p.add_flag("fullscreen", "borderless fullscreen (no-op headless; kept for parity)",
+               lambda: setattr(app, "fullscreen", True))
+    p.add_flag("noext", "disable the queue-throttle extension analog",
+               lambda: setattr(app, "use_queue_extension", False))
+
+    def unlink_and_set(name):
+        def h(v):
+            app.linked = False
+            setattr(app, name, v)
+        return h
+
+    p.add_int("numsim", "# particles simulated per frame", unlink_and_set("num_sim"))
+    p.add_int("numcopy", "# particles transferred per frame", unlink_and_set("num_copy"))
+    p.add_int("numdraw", "# particles drawn per frame", unlink_and_set("num_draw"))
+
+    # TPU-native extensions
+    p.add_int("steps", "number of frames to run (0 = forever)",
+              lambda v: extra.__setitem__("steps", v))
+    p.add_int("seed", "init RNG seed", lambda v: extra.__setitem__("seed", v))
+    p.add_str("force", "force model: central_well | all_pairs",
+              lambda v: extra.__setitem__("force", v))
+    p.add_int("computeadapter", "compute adapter index",
+              lambda v: extra.__setitem__("compute_adapter", v))
+    p.add_int("renderadapter", "render adapter index",
+              lambda v: extra.__setitem__("render_adapter", v))
+    p.add_int("width", "frame width", lambda v: extra.__setitem__("width", v))
+    p.add_int("height", "frame height", lambda v: extra.__setitem__("height", v))
+    p.add_str("dumpframe", "write the final frame to this .png/.npy path",
+              lambda v: extra.__setitem__("dumpframe", v))
+    p.add_str("metrics", "write metrics JSON to this path",
+              lambda v: extra.__setitem__("metrics", v))
+    p.add_int("profileevery", "hard-sync stage timing every K frames",
+              lambda v: extra.__setitem__("profile_every", v))
+    p.add_flag("nodraw", "simulate only (SPACE-toggle analog)",
+               lambda: extra.__setitem__("draw", False))
+    p.add_flag("listadapters", "print the adapter list and exit",
+               lambda: extra.__setitem__("list_adapters", True))
+    return p
+
+
+def write_frame(frame, path: str) -> None:
+    import numpy as np
+
+    arr = np.asarray(frame)
+    if path.endswith(".npy"):
+        np.save(path, arr)
+        return
+    img = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype("uint8")
+    try:
+        from PIL import Image  # pillow may not be present; gate it
+
+        Image.fromarray(img).save(path)
+    except ImportError:
+        alt = path.rsplit(".", 1)[0] + ".npy"
+        np.save(alt, arr)
+        print(f"PIL unavailable; wrote {alt} instead", file=sys.stderr)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    app_cfg = AppConfig()
+    extra: dict = {}
+    parser = build_parser(app_cfg, extra)
+    unmatched = parser.parse(argv)
+    if unmatched:
+        print(f"warning: unmatched args {unmatched}", file=sys.stderr)
+
+    # Heavy imports after flag parsing so `-?` is instant.
+    from multi_adapter_particles_tpu.runtime.orchestrator import ParticlesApp
+    from multi_adapter_particles_tpu.runtime.devices import enumerate_adapters
+
+    if extra.get("list_adapters"):
+        for a in enumerate_adapters():
+            print(f"[{a.index}] {a.platform:4s} {a.description}")
+        return 0
+
+    sim_cfg = SimConfig(
+        num_particles=app_cfg.num_particles,
+        force_model=extra.get("force", "central_well"),
+    )
+    render_cfg = RenderConfig(
+        width=extra.get("width", RenderConfig.width),
+        height=extra.get("height", RenderConfig.height),
+    )
+    steps = extra.get("steps", 600)
+    profile_every = extra.get("profile_every", 30 if app_cfg.gui else 0)
+
+    particles = ParticlesApp(
+        app_cfg,
+        sim_cfg,
+        render_cfg,
+        compute_adapter=extra.get("compute_adapter"),
+        render_adapter=extra.get("render_adapter"),
+        seed=extra.get("seed", 0),
+        draw_enabled=extra.get("draw", True),
+        profile_every=profile_every,
+    )
+
+    def overlay(p: ParticlesApp):
+        if app_cfg.gui and p.frame_count % 30 == 0:
+            print(f"--- frame {p.frame_count} ---")
+            print(p.metrics.render_text())
+
+    target_fps = 60.0 if app_cfg.vsync else None
+    try:
+        if steps <= 0:
+            while True:
+                particles.draw()
+                overlay(particles)
+        else:
+            particles.run(steps, frame_callback=overlay, target_fps=target_fps)
+    except KeyboardInterrupt:
+        pass
+    particles.shutdown()
+
+    print(particles.metrics.render_text())
+    if "dumpframe" in extra and particles.render.last_frame is not None:
+        write_frame(particles.render.last_frame, extra["dumpframe"])
+    if "metrics" in extra:
+        with open(extra["metrics"], "w") as f:
+            f.write(json.dumps(particles.metrics.as_dict(), indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

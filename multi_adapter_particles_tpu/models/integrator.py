@@ -55,17 +55,21 @@ def all_pairs_accel(
     interaction_scale: float = 1.0,
     mask: Optional[Array] = None,
     j_tile: int = 1024,
+    sources: Optional[Array] = None,
 ) -> Array:
     """accel_i = sum_j (p_j - p_i) * mass*scale / (|p_j - p_i|^2 + eps^2)^{3/2}.
 
     Pure-XLA blocked formulation: scan over j-tiles so the [Np, j_tile]
     pairwise planes stay small enough for XLA to fuse and keep resident.
     `mask` (float 0/1 per j) excludes padding particles from the sum.
+    `sources` ([4, Nj], default = position) selects the j-side bodies — the
+    split form used by the multi-chip ring stages.
     Self-interaction contributes exactly zero (r_ii = 0), matching the
     upstream tiled shader which does not special-case i == j.
     """
-    p = position[:3]  # [3, Np]
-    n = p.shape[1]
+    p = position[:3]  # [3, Np] targets
+    src = p if sources is None else sources[:3]
+    n = src.shape[1]
     if n % j_tile != 0:
         j_tile = n  # fall back to a single tile for odd sizes (tests)
     num_tiles = n // j_tile
@@ -73,7 +77,7 @@ def all_pairs_accel(
         mask = jnp.ones((n,), dtype=p.dtype)
     scale = jnp.float32(mass) * jnp.float32(interaction_scale)
 
-    p_tiles = p.reshape(3, num_tiles, j_tile)
+    p_tiles = src.reshape(3, num_tiles, j_tile)
     m_tiles = mask.reshape(num_tiles, j_tile)
 
     def body(acc, tile):
@@ -90,7 +94,9 @@ def all_pairs_accel(
         az = jnp.sum(dz * s, axis=1)
         return acc + jnp.stack([ax, ay, az]), None
 
-    acc0 = jnp.zeros((3, n), dtype=p.dtype)
+    # derive from p (not a fresh constant) so the varying-manual-axes type
+    # is right when this runs inside shard_map (scan carry must match)
+    acc0 = p * jnp.zeros((), dtype=p.dtype)
     acc, _ = jax.lax.scan(
         body, acc0, (jnp.moveaxis(p_tiles, 1, 0), m_tiles)
     )

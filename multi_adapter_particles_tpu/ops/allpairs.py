@@ -1,0 +1,204 @@
+"""Blocked all-pairs gravity force as a Pallas TPU kernel.
+
+This is the TPU rebuild of the tiled O(N^2) force the demo's lineage points
+at: the Microsoft original staged particle tiles through groupshared memory
+and accumulated `bodyBodyInteraction` (`nBodyGravityCS.hlsl:44-57`) over all
+tiles. Here the analog of groupshared memory is VMEM:
+
+- The grid walks i-tiles (the particles whose acceleration we produce),
+  delivered as [TI, 4] row blocks of the transposed positions so that each
+  coordinate is directly a [TI, 1] sublane column.
+- For each i-tile, j-tiles of source positions stream HBM -> VMEM as
+  [4, TJ] lane slices through a double-buffered async-copy pipeline (DMA of
+  tile j+1 overlaps force math on tile j) — the copy-queue-overlaps-compute
+  idea (`Render.cpp:789-831`) applied *inside* the chip.
+- Pairwise planes are [TI, TJ]: i down sublanes, j across lanes; the
+  per-component accumulation is a lane-axis reduction producing [TI, 1]
+  columns carried through the j-loop in registers.
+
+Padding particles are parked at 1e9 (see `models/state.py`); pad-pad pairs
+have r = 0 (identical positions -> zero force) and pad-real forces are
+O(1e-14), so no mask is needed in the hot loop.
+
+Self-interaction contributes exactly zero (r_ii = 0), matching the upstream
+shader which never special-cases i == j.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
+
+# Default tile sizes. VMEM at (TI=512, TJ=1024): each [TI, TJ] f32 plane is
+# 2 MiB; the fused expression keeps ~5 planes live => ~10 MiB peak, inside
+# the 16 MiB/core scoped-vmem budget (TI=TJ=1024 overflows it by ~100 KiB).
+# The j-stream buffers are tiny (2 x 4 x TJ).
+DEFAULT_TI = 512
+DEFAULT_TJ = 1024
+
+
+def _allpairs_kernel(
+    pos_hbm,    # [4, Np] in ANY/HBM — j-stream, sliced manually
+    posT_i,     # [TI, 4] VMEM block for this grid step (x, y, z, w columns)
+    accel_out,  # [TI, 4] VMEM output block (ax, ay, az, |a|)
+    buf,        # [2, 4, TJ] VMEM scratch — double-buffered j stream
+    sem,        # [2] DMA semaphores
+    *,
+    num_j_tiles: int,
+    tj: int,
+    mass_scale: float,
+    eps2: float,
+):
+    ti = posT_i.shape[0]
+    xi = posT_i[:, 0:1]  # [TI, 1]
+    yi = posT_i[:, 1:2]
+    zi = posT_i[:, 2:3]
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            pos_hbm.at[:, pl.ds(j * tj, tj)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def body(j, acc):
+        ax, ay, az = acc
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < num_j_tiles)
+        def _():
+            dma(1 - slot, j + 1).start()
+
+        dma(slot, j).wait()
+
+        tile = buf[slot]      # [4, TJ]
+        xj = tile[0:1, :]     # [1, TJ]
+        yj = tile[1:2, :]
+        zj = tile[2:3, :]
+
+        dx = xj - xi          # [TI, TJ]
+        dy = yj - yi
+        dz = zj - zi
+        d2 = dx * dx + dy * dy + dz * dz + jnp.float32(eps2)
+        inv = jax.lax.rsqrt(d2)
+        s = inv * inv * inv   # 1 / d^3  (mass applied once at the end)
+
+        ax = ax + jnp.sum(dx * s, axis=1, keepdims=True)
+        ay = ay + jnp.sum(dy * s, axis=1, keepdims=True)
+        az = az + jnp.sum(dz * s, axis=1, keepdims=True)
+        return ax, ay, az
+
+    zero = jnp.zeros((ti, 1), jnp.float32)
+    ax, ay, az = jax.lax.fori_loop(0, num_j_tiles, body, (zero, zero, zero))
+
+    m = jnp.float32(mass_scale)
+    ax = ax * m
+    ay = ay * m
+    az = az * m
+    amag = jnp.sqrt(ax * ax + ay * ay + az * az)
+    accel_out[:, :] = jnp.concatenate([ax, ay, az, amag], axis=1)
+
+
+def _pick(n: int, want: int) -> int:
+    t = min(want, n)
+    while n % t:
+        t //= 2
+    return max(t, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mass", "softening_squared", "interaction_scale", "ti", "tj"),
+)
+def all_pairs_accel_pallas(
+    position: jax.Array,
+    mass: float,
+    softening_squared: float,
+    interaction_scale: float = 1.0,
+    ti: int = DEFAULT_TI,
+    tj: int = DEFAULT_TJ,
+    sources: jax.Array | None = None,
+) -> jax.Array:
+    """position [4, Ni] -> [4, Ni] (ax, ay, az, |a|), all float32.
+
+    `sources` ([4, Nj], default = position) selects the j-side bodies; the
+    split form is the building block of the multi-chip ring, where each
+    stage computes forces from one visiting position block (the ring
+    all-gather over ICI, SURVEY §2.3).
+
+    Returns acceleration planes; the Euler tail stays in XLA where it fuses
+    with neighbors (its HBM traffic is negligible next to the O(N^2) math).
+    """
+    if sources is None:
+        sources = position
+    ni = position.shape[1]
+    nj = sources.shape[1]
+    ti = _pick(ni, ti)
+    tj = _pick(nj, tj)
+    num_j_tiles = nj // tj
+
+    posT = position.T  # [Ni, 4], one cheap transpose per step
+
+    kernel = functools.partial(
+        _allpairs_kernel,
+        num_j_tiles=num_j_tiles,
+        tj=tj,
+        mass_scale=float(mass) * float(interaction_scale),
+        eps2=float(softening_squared),
+    )
+    accT = pl.pallas_call(
+        kernel,
+        grid=(ni // ti,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # sources, streamed by DMA
+            pl.BlockSpec((ti, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni, 4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, tj), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(ni) * int(nj) * 20,
+            bytes_accessed=int(nj) * 16 * (ni // ti + 2),
+            transcendentals=int(ni) * int(nj),
+        ),
+        interpret=interpret_flag(),
+    )(sources, posT)
+    return accT.T
+
+
+def make_accel_fn(
+    mass: float,
+    softening_squared: float,
+    interaction_scale: float = 1.0,
+    ti: int = DEFAULT_TI,
+    tj: int = DEFAULT_TJ,
+):
+    """Adapter matching the integrator's accel_fn signature
+    (position [4, Np] -> accel [3, Np])."""
+
+    def accel_fn(position: jax.Array) -> jax.Array:
+        out = all_pairs_accel_pallas(
+            position,
+            mass=mass,
+            softening_squared=softening_squared,
+            interaction_scale=interaction_scale,
+            ti=ti,
+            tj=tj,
+        )
+        return out[:3]
+
+    return accel_fn

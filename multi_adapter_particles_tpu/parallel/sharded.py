@@ -1,0 +1,151 @@
+"""Sharded simulation step: shard_map + ring position exchange over ICI.
+
+The copy-queue-overlaps-compute idea (`Render.cpp:789-831`: transfer of frame
+N's results runs while N-1 draws and N+1 simulates) becomes, inside one chip
+step, the ring schedule: at stage s every device computes partial forces from
+the position block it holds while `ppermute` already rotates that block to
+the neighbor — ICI transfer hides behind the O(n_local * n_block) force math.
+After D stages every device has accumulated forces from all N bodies.
+
+Per-device force math goes through the same kernels as single-chip
+(`ops/allpairs.py` Pallas on TPU, pure XLA elsewhere), so multi-chip is a
+composition, not a re-implementation.
+
+The central-well model needs no communication at all (embarrassingly
+particle-parallel): its sharded step is just the single-chip step under a
+sharding constraint — XLA inserts zero collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multi_adapter_particles_tpu.config import SimConfig
+from multi_adapter_particles_tpu.models import integrator
+from multi_adapter_particles_tpu.models.state import ParticleState, padded_count
+from multi_adapter_particles_tpu.ops import allpairs
+from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
+from multi_adapter_particles_tpu.parallel.mesh import (
+    AXIS,
+    particle_sharding,
+)
+
+
+def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
+    """Place a state pytree on the mesh, particle-axis sharded."""
+    sh = particle_sharding(mesh)
+    return ParticleState(
+        jax.device_put(state.position, sh),
+        jax.device_put(state.velocity, sh),
+    )
+
+
+def _partial_accel_fn(cfg: SimConfig, use_pallas: bool) -> Callable:
+    """(targets [4, ni], sources [4, nj]) -> accel [3, ni], unscaled order."""
+    if use_pallas:
+        def f(targets, sources):
+            return allpairs.all_pairs_accel_pallas(
+                targets,
+                mass=cfg.mass,
+                softening_squared=cfg.softening_squared,
+                interaction_scale=cfg.interaction_scale,
+                sources=sources,
+            )[:3]
+        return f
+
+    def f(targets, sources):
+        return integrator.all_pairs_accel(
+            targets,
+            mass=cfg.mass,
+            softening_squared=cfg.softening_squared,
+            interaction_scale=cfg.interaction_scale,
+            sources=sources,
+        )
+    return f
+
+
+def make_sharded_step(
+    cfg: SimConfig,
+    mesh: Mesh,
+    use_pallas: Optional[bool] = None,
+    donate: bool = True,
+) -> Callable[[ParticleState], ParticleState]:
+    """Build the jitted multi-chip `state -> state` step.
+
+    State must be particle-sharded on `mesh` (see `shard_state`); padded
+    count must divide by the mesh size. Padding particles are parked at 1e9
+    (forces on/from them are ~0, see ops/allpairs.py docstring), so shards
+    need no mask exchange.
+    """
+    ndev = mesh.devices.size
+    if use_pallas is None:
+        use_pallas = pallas_supported() and all(
+            d.platform == "tpu" for d in mesh.devices.ravel()
+        )
+    partial_accel = _partial_accel_fn(cfg, use_pallas)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local_step(position, velocity, num_sim: Optional[int]):
+        # position [4, n_loc], velocity [3, n_loc] — per-device blocks.
+        old_position, old_velocity = position, velocity
+        if cfg.force_model == "central_well":
+            accel = integrator.central_well_accel(
+                position, cfg.mass, cfg.softening_squared
+            )
+        else:
+            # Ring: accumulate forces from each visiting block. Issue the
+            # ppermute *before* consuming the resident block so the ICI
+            # transfer overlaps the force math (async collective).
+            acc = partial_accel(position, position)
+            if ndev > 1:
+                def body(carry, _):
+                    acc, block = carry
+                    nxt = jax.lax.ppermute(block, AXIS, perm)
+                    acc = acc + partial_accel(position, block)
+                    return (acc, nxt), None
+
+                block0 = jax.lax.ppermute(position, AXIS, perm)
+                (acc, last), _ = jax.lax.scan(
+                    body, (acc, block0), None, length=ndev - 2
+                )
+                if ndev >= 2:
+                    acc = acc + partial_accel(position, last)
+            accel = acc
+        new_pos, new_vel = integrator.euler_update(
+            position, velocity, accel, cfg.dt, cfg.damping
+        )
+        if num_sim is not None:
+            # Freeze particles >= num_sim (short-dispatch analog,
+            # Compute.cpp:1041) using this shard's *global* indices.
+            n_loc = position.shape[1]
+            gidx = jax.lax.axis_index(AXIS) * n_loc + jnp.arange(n_loc)
+            live = (gidx < num_sim)[None, :]
+            new_pos = jnp.where(live, new_pos, old_position)
+            new_vel = jnp.where(live, new_vel, old_velocity)
+        return new_pos, new_vel
+
+    def make(num_sim: Optional[int]):
+        return jax.shard_map(
+            functools.partial(local_step, num_sim=num_sim),
+            mesh=mesh,
+            in_specs=(P(None, AXIS), P(None, AXIS)),
+            out_specs=(P(None, AXIS), P(None, AXIS)),
+        )
+
+    def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:
+        pos, vel = make(num_sim)(state.position, state.velocity)
+        return ParticleState(pos, vel)
+
+    if donate:
+        return jax.jit(step, static_argnums=(1,), donate_argnums=(0,))
+    return jax.jit(step, static_argnums=(1,))
+
+
+def gather_positions(state: ParticleState, device: jax.Device) -> jax.Array:
+    """All shards -> one device (the render feed / copy-queue analog)."""
+    return jax.device_put(state.position, device)

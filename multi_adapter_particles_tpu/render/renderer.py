@@ -1,0 +1,306 @@
+"""TPU tile-binned point-sprite splatter.
+
+The reference's draw path is VS -> GS billboard expand -> PS radial sprite ->
+alpha blend in ROP hardware (`ParticleDraw.hlsl`, blend state
+`Render.cpp:522-532`). None of that maps to TPU directly — scatter-heavy
+splatting fights the VPU — so the pipeline is re-shaped as a *gather*:
+
+1. **Project** all particles (one fused matmul + elementwise pass). Because
+   billboards are eye-space axis-aligned squares, each sprite projects to a
+   screen-axis-aligned rectangle -> a particle is fully described by
+   (center, half-extents, rgb, intensity).
+2. **Bin** sprites to (tile_h x tile_w) pixel tiles: each particle emits up
+   to DY x DX candidate (tile, id) entries; a single *stable* sort by tile
+   key orders entries by tile and, within a tile, by particle id — exactly
+   the draw order the reference's single DrawInstanced call produces
+   (`Render.cpp:891`), so ordered alpha blending is preserved.
+3. **Composite** with a `lax.scan` over the per-tile depth K: step k blends
+   sprite k of *every* tile simultaneously — [num_tiles, tile_px]-wide VPU
+   ops, no scatters anywhere. "Over" blending is associative, so any
+   chunking of this loop that respects order is legal.
+
+The per-tile depth is a static `k_max`; tiles deeper than that drop their
+tail and the dropped count is returned (`overflow`) so callers can re-render
+with a bigger bucket (the engine auto-doubles; compilations are cached per
+bucket). This is the no-silent-caps contract.
+
+Matches `render/reference.py` (the exact NumPy oracle) to fp32 tolerance;
+golden tests in tests/test_render.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_adapter_particles_tpu import constants as C
+from multi_adapter_particles_tpu.config import RenderConfig
+from multi_adapter_particles_tpu.render.camera import Camera
+
+# Tile shape: (8, 128) is the f32 VPU tile — the natural pixel block.
+TILE_H = 8
+TILE_W = 128
+
+
+class FrameOutput(NamedTuple):
+    frame: jax.Array      # [H, W, 3] float32 in [0, 1]
+    overflow: jax.Array   # int32 — sprite entries dropped by the k_max cap
+    truncated: jax.Array  # int32 — tile entries beyond the dup_y x dup_x grid
+    #                       (sprites bigger than the dup window; fixed by a
+    #                       larger dup grid, not by k_max)
+
+
+def _project(position, wvp, p00, p11, width, height, radius):
+    """SoA positions [4, Np] -> screen-space sprite params (all [Np])."""
+    x, y, z = position[0], position[1], position[2]
+    # row-vector convention: clip = [x y z 1] @ WVP
+    cx_clip = x * wvp[0, 0] + y * wvp[1, 0] + z * wvp[2, 0] + wvp[3, 0]
+    cy_clip = x * wvp[0, 1] + y * wvp[1, 1] + z * wvp[2, 1] + wvp[3, 1]
+    w_clip = x * wvp[0, 3] + y * wvp[1, 3] + z * wvp[2, 3] + wvp[3, 3]
+    inv_w = 1.0 / w_clip
+    cx = (cx_clip * inv_w + 1.0) * (0.5 * width)
+    cy = (1.0 - cy_clip * inv_w) * (0.5 * height)
+    hx = radius * p00 * inv_w * (0.5 * width)
+    hy = radius * p11 * inv_w * (0.5 * height)
+    return cx, cy, hx, hy, w_clip
+
+
+def _colors(position, num_particles):
+    """VSParticleDraw color rule (`ParticleDraw.hlsl:104-109`), SoA."""
+    n = position.shape[1]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    mag = position[3] / jnp.float32(C.ACCEL_COLOR_SCALE)
+    cold = C.SPRITE_COLOR_COLD
+    hot = C.SPRITE_COLOR_HOT
+    g = cold[1] + mag * (hot[1] - cold[1])  # unclamped lerp
+    b = (ids & C.SPRITE_ID_MASK).astype(jnp.float32) / float(C.SPRITE_ID_MASK)
+    r = 1.0 - b
+    return r, g, b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "k_max", "dup_y", "dup_x", "near", "blend",
+    ),
+)
+def _render(
+    position: jax.Array,   # [4, Np]
+    wvp: jax.Array,        # [4, 4] world-view-projection (row-vector)
+    p00: jax.Array,        # proj[0, 0]
+    p11: jax.Array,        # proj[1, 1]
+    radius: jax.Array,     # particle size (eye units)
+    intensity: jax.Array,  # sprite intensity
+    num_draw: jax.Array,   # dynamic draw count (decoupling knob)
+    *,
+    width: int,
+    height: int,
+    k_max: int,
+    dup_y: int,
+    dup_x: int,
+    near: float,
+    blend: str,            # 'over' (exact) | 'additive' (order-free approx)
+) -> FrameOutput:
+    n = position.shape[1]
+    gh, gw = height // TILE_H, width // TILE_W
+    num_tiles = gh * gw
+    dup = dup_y * dup_x
+
+    cx, cy, hx, hy, w_clip = _project(
+        position, wvp, p00, p11, float(width), float(height), radius
+    )
+    cr, cg, cb = _colors(position, n)
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    alive = (ids < num_draw) & (w_clip > jnp.float32(near))
+
+    # Sprite pixel rect [x0, x1) x [y0, y1); pixel centers at +0.5.
+    x0 = cx - hx
+    x1 = cx + hx
+    y0 = cy - hy
+    y1 = cy + hy
+    px0 = jnp.maximum(jnp.ceil(x0 - 0.5), 0.0).astype(jnp.int32)
+    px1 = jnp.minimum(jnp.ceil(x1 - 0.5), width).astype(jnp.int32)
+    py0 = jnp.maximum(jnp.ceil(y0 - 0.5), 0.0).astype(jnp.int32)
+    py1 = jnp.minimum(jnp.ceil(y1 - 0.5), height).astype(jnp.int32)
+    nonempty = (px0 < px1) & (py0 < py1) & alive
+
+    tx0 = px0 // TILE_W
+    tx1 = (px1 - 1) // TILE_W
+    ty0 = py0 // TILE_H
+    ty1 = (py1 - 1) // TILE_H
+
+    # Candidate tiles: (ty0 + dy, tx0 + dx). Sprites spanning more tiles than
+    # dup_y x dup_x lose their far tiles -> counted in overflow.
+    dys = jnp.arange(dup_y, dtype=jnp.int32)
+    dxs = jnp.arange(dup_x, dtype=jnp.int32)
+    ty = ty0[:, None, None] + dys[None, :, None]  # [Np, dup_y, 1]
+    tx = tx0[:, None, None] + dxs[None, None, :]  # [Np, 1, dup_x]
+    ok = (
+        nonempty[:, None, None]
+        & (ty <= ty1[:, None, None])
+        & (tx <= tx1[:, None, None])
+    )
+    key = jnp.where(ok, ty * gw + tx, num_tiles)  # invalid -> sentinel bin
+    key = key.reshape(n * dup)  # particle-major: stable sort keeps id order
+    truncated = jnp.sum(
+        jnp.maximum(ty1 - ty0 + 1 - dup_y, 0) * (tx1 - tx0 + 1)
+        + jnp.maximum(tx1 - tx0 + 1 - dup_x, 0)
+        * jnp.minimum(ty1 - ty0 + 1, dup_y),
+        where=nonempty,
+        initial=0,
+    )
+
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    sorted_pid = (order // dup).astype(jnp.int32)
+
+    starts = jnp.searchsorted(
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    )
+    counts = starts[1:] - starts[:-1]                     # [T]
+    overflow = jnp.sum(jnp.maximum(counts - k_max, 0))
+
+    # Per-tile sprite index matrix [T, k_max] -> particle ids, invalid -> -1.
+    kk = jnp.arange(k_max, dtype=jnp.int32)
+    gather_idx = starts[:-1, None] + kk[None, :]
+    valid_k = kk[None, :] < counts[:, None]
+    pid = jnp.where(
+        valid_k, sorted_pid[jnp.clip(gather_idx, 0, n * dup - 1)], 0
+    )
+
+    # Gather sprite params into [k_max, T] scan inputs.
+    def g(a):
+        return a[pid].T  # [k_max, T]
+
+    xs = (
+        g(cx), g(cy),
+        g(1.0 / (2.0 * hx)), g(1.0 / (2.0 * hy)),
+        g(cr), g(cg), g(cb),
+        jnp.where(valid_k, intensity, 0.0).T,  # dead slots blend nothing
+    )
+
+    # Pixel-center coordinate planes per tile: [T, tile_px].
+    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
+    base_x = (tidx % gw) * TILE_W
+    base_y = (tidx // gw) * TILE_H
+    ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pxc = (base_x[:, None, None] + lx[None]).astype(jnp.float32) + 0.5
+    pyc = (base_y[:, None, None] + ly[None]).astype(jnp.float32) + 0.5
+    pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
+    pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
+
+    def step(frame, sprite):
+        scx, scy, sihx, sihy, sr, sg, sb, sa = sprite  # each [T]
+        du = (pxc - scx[:, None]) * sihx[:, None]      # (px-cx)/(2hx) = u-.5
+        dv = (pyc - scy[:, None]) * sihy[:, None]
+        dist = jnp.sqrt(du * du + dv * dv)
+        alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa[:, None]  # [T, tile_px]
+        rgb = jnp.stack([sr, sg, sb], axis=1)[:, :, None]     # [T, 3, 1]
+        src = rgb * alpha[:, None, :]
+        if blend == "over":
+            frame = jnp.clip(src + frame * (1.0 - alpha[:, None, :]), 0.0, 1.0)
+        else:  # additive
+            frame = src + frame
+        return frame, None
+
+    frame0 = jnp.zeros((num_tiles, 3, TILE_H * TILE_W), jnp.float32)
+    frame_t, _ = jax.lax.scan(step, frame0, xs)
+    if blend != "over":
+        frame_t = jnp.clip(frame_t, 0.0, 1.0)
+
+    # [T, 3, th*tw] -> [H, W, 3]
+    frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
+    frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
+    return FrameOutput(
+        frame, overflow.astype(jnp.int32), truncated.astype(jnp.int32)
+    )
+
+
+class Renderer:
+    """Headless splat renderer with reference semantics.
+
+    k_max is the per-tile sprite budget (static; per-bucket compilations are
+    cached). `render()` auto-doubles the bucket when a frame overflows, up
+    to `k_max_limit` — after that the overflow count is reported and the
+    tail dropped (and `last_overflow` exposes it, the no-silent-caps rule).
+    """
+
+    def __init__(
+        self,
+        config: Optional[RenderConfig] = None,
+        k_max: int = 512,
+        k_max_limit: int = 16384,
+        dup_y: int = 3,
+        dup_x: int = 2,
+        blend: str = "over",
+    ):
+        self.config = config or RenderConfig()
+        if self.config.width % TILE_W or self.config.height % TILE_H:
+            raise ValueError(
+                f"width must be a multiple of {TILE_W} and height of {TILE_H}"
+            )
+        self.k_max = k_max
+        self.k_max_limit = k_max_limit
+        self.dup_y = dup_y
+        self.dup_x = dup_x
+        self.blend = blend
+        self.last_overflow = 0
+        self.last_truncated = 0
+
+    def render_arrays(
+        self,
+        position: jax.Array,
+        camera: Camera,
+        particle_size: float,
+        particle_intensity: float,
+        num_draw: Optional[int] = None,
+        k_max: Optional[int] = None,
+    ) -> FrameOutput:
+        """One jitted render dispatch (no host sync)."""
+        cfg = self.config
+        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
+        wvp = camera.world_view_projection(
+            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
+        )
+        n = position.shape[1]
+        return _render(
+            position,
+            jnp.asarray(wvp),
+            jnp.float32(abs(proj[0, 0])),
+            jnp.float32(abs(proj[1, 1])),
+            jnp.float32(particle_size),
+            jnp.float32(particle_intensity),
+            jnp.int32(n if num_draw is None else num_draw),
+            width=cfg.width,
+            height=cfg.height,
+            k_max=k_max or self.k_max,
+            dup_y=self.dup_y,
+            dup_x=self.dup_x,
+            near=cfg.near,
+            blend=self.blend,
+        )
+
+    def render(self, position, camera, particle_size, particle_intensity,
+               num_draw=None) -> jax.Array:
+        """Render with automatic k_max escalation (blocks on overflow check)."""
+        while True:
+            out = self.render_arrays(
+                position, camera, particle_size, particle_intensity, num_draw
+            )
+            self.last_overflow = int(out.overflow)
+            self.last_truncated = int(out.truncated)
+            if self.last_overflow == 0 or self.k_max >= self.k_max_limit:
+                return out.frame
+            self.k_max = min(self.k_max * 2, self.k_max_limit)
+
+    def to_numpy_image(self, frame: jax.Array) -> np.ndarray:
+        """[H, W, 3] float -> uint8 image."""
+        return np.asarray(
+            jnp.round(jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        )

@@ -1,0 +1,109 @@
+"""Adapter enumeration and role assignment.
+
+The reference enumerates DXGI hardware adapters, skips software adapters,
+and assigns roles by a UMA heuristic: integrated (UMA) adapter gets the
+compute role, the discrete adapter renders; same adapter for both roles
+selects single-adapter async-compute mode (`Particles.cpp:95-122,212-243`).
+
+The TPU analog enumerates jax devices across *platforms*: every TPU chip is
+an adapter, and the host CPU device is kept in the list as the weak
+"integrated" analog (useful for exercising the cross-device transfer path
+without second-chip hardware; the reference's WARP/software filter maps to
+de-prioritizing, not hiding, the CPU device). Role assignment:
+
+- default: the first accelerator for both roles -> async-compute mode
+  (one chip simulating and rendering, zero copies — `README.md:14`);
+- distinct devices -> split mode with an explicit positions transfer each
+  frame (the cross-adapter shared heap + copy queue analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class AdapterInfo:
+    """One selectable adapter (`DXGI_ADAPTER_DESC1` analog)."""
+
+    index: int
+    device: jax.Device
+    platform: str        # 'tpu' | 'cpu' | 'gpu'
+    description: str
+
+    @property
+    def is_accelerator(self) -> bool:
+        return self.platform != "cpu"
+
+    # The UMA bit drove the reference's role heuristic (AdapterShared.h:93-101):
+    # UMA = shares memory with the host. On this stack the CPU device is the
+    # only "UMA" adapter; TPU HBM is discrete.
+    @property
+    def is_uma(self) -> bool:
+        return self.platform == "cpu"
+
+
+def enumerate_adapters(include_cpu: bool = True) -> List[AdapterInfo]:
+    """All selectable devices, accelerators first (`Particles.cpp:95-122`)."""
+    adapters: List[AdapterInfo] = []
+    seen = set()
+
+    def add(dev: jax.Device):
+        key = (dev.platform, dev.id)
+        if key in seen:
+            return
+        seen.add(key)
+        adapters.append(
+            AdapterInfo(
+                index=len(adapters),
+                device=dev,
+                platform=dev.platform,
+                description=f"{dev.device_kind} (id {dev.id})",
+            )
+        )
+
+    for dev in jax.devices():
+        add(dev)
+    if include_cpu:
+        try:
+            for dev in jax.devices("cpu"):
+                add(dev)
+        except RuntimeError:
+            pass  # no CPU backend registered
+    if not adapters:
+        raise RuntimeError("no jax devices found")  # Particles.cpp:140 analog
+    return adapters
+
+
+def assign_adapters(
+    adapters: Sequence[AdapterInfo],
+    compute_index: Optional[int] = None,
+    render_index: Optional[int] = None,
+) -> Tuple[AdapterInfo, AdapterInfo]:
+    """Pick (compute, render) adapters.
+
+    Reference heuristic (`Particles.cpp:212-243`): compute prefers the UMA
+    adapter, render prefers discrete. Here, with one big accelerator, the
+    default is the same accelerator for both (async-compute mode) because the
+    CPU "UMA" device is orders slower — the equivalent of the reference
+    running on a single-GPU machine.
+    """
+    accel = [a for a in adapters if a.is_accelerator]
+    default = accel[0] if accel else adapters[0]
+    compute = adapters[compute_index] if compute_index is not None else default
+    render = adapters[render_index] if render_index is not None else default
+    return compute, render
+
+
+def mode_banner(compute: AdapterInfo, render: AdapterInfo) -> str:
+    """The GUI status line (`Particles.cpp:354-368`)."""
+    if compute.device == render.device:
+        return "Single Adapter with Async Compute"
+    if compute.is_uma or not render.is_uma:
+        # split across devices with the weak one computing = the demo's
+        # "Good" configuration
+        return "Good: Multi-Adapter Split (compute/render on separate devices)"
+    return "PERFORMANCE ISSUE: Compute is not UMA"

@@ -1,0 +1,197 @@
+"""Orchestrator — the `class Particles` analog (`Particles/Particles.cpp`).
+
+Owns both engines, brokers the shared-positions handle between them, runs
+the per-frame pipeline, and handles live reconfiguration (device
+re-assignment with drain + state migration — `Particles.cpp:458-537`).
+
+Frame pipeline (`Particles::Draw`, `Particles.cpp:432-456`):
+
+    1. render.draw(display_positions)   # consumes the *last completed* sim
+    2. compute.simulate()               # next step, concurrent with the draw
+    3. display_positions <- new state
+    4. present()                        # the single host block per frame
+
+Step 1 dispatches before step 2, so the draw reads the pre-donation buffer;
+XLA/PjRt keeps it alive until the draw executes. That reproduces the
+reference's stale-by-one-frame contract: render shows frame N while N+1
+simulates (fences `Render.cpp:925`, `Compute.cpp:1012`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+
+from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
+from multi_adapter_particles_tpu.runtime import devices as devmod
+from multi_adapter_particles_tpu.runtime.compute_engine import ComputeEngine
+from multi_adapter_particles_tpu.runtime.render_engine import RenderEngine
+from multi_adapter_particles_tpu.utils.metrics import MetricsRegistry
+
+
+class ParticlesApp:
+    def __init__(
+        self,
+        app_config: Optional[AppConfig] = None,
+        sim_config: Optional[SimConfig] = None,
+        render_config: Optional[RenderConfig] = None,
+        compute_adapter: Optional[int] = None,
+        render_adapter: Optional[int] = None,
+        seed: int = 0,
+        draw_enabled: bool = True,
+        profile_every: int = 0,
+    ):
+        self.app = app_config or AppConfig()
+        self.sim_config = sim_config or SimConfig(
+            num_particles=self.app.num_particles
+        )
+        self.render_config = render_config or RenderConfig()
+        self.metrics = MetricsRegistry()
+        self.seed = seed
+        # SPACE-toggle analog (`Main-Particles.cpp:83-88`).
+        self.draw_enabled = draw_enabled
+        # Every K frames, time sim/render with a hard sync (the
+        # timestamp-query readback analog); 0 = never.
+        self.profile_every = profile_every
+
+        self.adapters: List[devmod.AdapterInfo] = devmod.enumerate_adapters()
+        compute_ad, render_ad = devmod.assign_adapters(
+            self.adapters, compute_adapter, render_adapter
+        )
+        self.compute_adapter = compute_ad
+        self.render_adapter = render_ad
+        # prev-value change detection (`Particles.cpp:162-166,458-463`)
+        self._prev_compute_index = compute_ad.index
+        self._prev_render_index = render_ad.index
+
+        self.compute = ComputeEngine(
+            self.sim_config, compute_ad.device, self.metrics, seed=seed
+        )
+        self.render = RenderEngine(
+            self.render_config, render_ad.device, self.metrics
+        )
+        self.share_handles()
+        self.frame_count = 0
+
+    # -- handle brokering (`Particles::ShareHandles`, Particles.cpp:191-208) ----
+    def share_handles(self) -> None:
+        self._display_positions = self.compute.positions
+        self.async_mode = self.compute_adapter.device == self.render_adapter.device
+        self.metrics.gauge(
+            "mode_banner",
+            devmod.mode_banner(self.compute_adapter, self.render_adapter),
+        )
+        self.metrics.gauge("compute_device", self.compute_adapter.description)
+        self.metrics.gauge("render_device", self.render_adapter.description)
+
+    # -- per-frame pipeline -------------------------------------------------------
+    def draw(self) -> None:
+        """One frame: draw N, simulate N+1, present (`Particles.cpp:432-456`)."""
+        self.metrics.frame_tick()
+        num_sim, num_copy, num_draw = self.app.resolved_counts()
+        profile = (
+            self.profile_every > 0
+            and self.frame_count % self.profile_every == 0
+        )
+
+        if self.draw_enabled:
+            if profile:
+                st = self.metrics.stage("render")
+                st.begin()
+                self.render.draw(
+                    self._display_positions, self.app, num_copy, num_draw
+                )
+                self.render.present()
+                st.end()
+            else:
+                self.render.draw(
+                    self._display_positions, self.app, num_copy, num_draw
+                )
+
+        if profile:
+            st = self.metrics.stage("simulate")
+            self.compute.wait_for_gpu()
+            st.begin()
+            self.compute.simulate(
+                num_sim if num_sim < self.sim_config.num_particles else None
+            )
+            self.compute.wait_for_gpu()
+            st.end()
+        else:
+            self.compute.simulate(
+                num_sim if num_sim < self.sim_config.num_particles else None
+            )
+
+        self._display_positions = self.compute.positions
+
+        if self.draw_enabled and not profile:
+            # present: the only host block per frame (Particles.cpp:452-456)
+            self.render.present()
+
+        self.frame_count += 1
+        self._handle_reconfiguration()
+
+    # -- live reconfiguration (`Particles.cpp:458-537`) ---------------------------
+    def set_compute_adapter(self, index: int) -> None:
+        self.compute_adapter = self.adapters[index]
+
+    def set_render_adapter(self, index: int) -> None:
+        self.render_adapter = self.adapters[index]
+
+    def _handle_reconfiguration(self) -> None:
+        cchange = self.compute_adapter.index != self._prev_compute_index
+        rchange = self.render_adapter.index != self._prev_render_index
+        if not (cchange or rchange):
+            return
+        # Drain all in-flight work on both engines (Particles.cpp:467-471).
+        self.render.wait_for_gpu()
+        self.compute.wait_for_gpu()
+
+        if rchange:
+            # Rebuild the render engine on the new device (camera survives —
+            # the reference recreates it but the view is static state here).
+            self.render = RenderEngine(
+                self.render_config,
+                self.render_adapter.device,
+                self.metrics,
+                camera=self.render.camera,
+            )
+            self._prev_render_index = self.render_adapter.index
+
+        if cchange:
+            # New engine on the new device, migrating state (CopyState).
+            self.compute = ComputeEngine(
+                self.sim_config,
+                self.compute_adapter.device,
+                self.metrics,
+                prev=self.compute,
+            )
+            self._prev_compute_index = self.compute_adapter.index
+
+        self.share_handles()
+
+    # -- run loop (the message-pump analog, Main-Particles.cpp:76-90) -------------
+    def run(
+        self,
+        num_frames: int,
+        frame_callback=None,
+        target_fps: Optional[float] = None,
+    ) -> None:
+        """Drive `num_frames` frames. `target_fps` is the vsync analog."""
+        interval = 1.0 / target_fps if target_fps else 0.0
+        for _ in range(num_frames):
+            t0 = time.perf_counter()
+            self.draw()
+            if frame_callback is not None:
+                frame_callback(self)
+            if interval:
+                left = interval - (time.perf_counter() - t0)
+                if left > 0:
+                    time.sleep(left)
+
+    def shutdown(self) -> None:
+        """Drain everything (`~Particles`, Particles.cpp:174-185)."""
+        self.render.wait_for_gpu()
+        self.compute.wait_for_gpu()

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize force-registers the TPU plugin and overwrites
+# jax_platforms ("axon,cpu"), ignoring the env var — override it back
+# before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,108 @@
+"""Pallas kernel tests (run through the interpreter on the CPU test mesh;
+the same code compiles natively on TPU — exercised by bench/verify runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from multi_adapter_particles_tpu import constants as C
+from multi_adapter_particles_tpu.models import integrator, oracle
+from multi_adapter_particles_tpu.models.state import ParticleState
+from multi_adapter_particles_tpu.ops.allpairs import all_pairs_accel_pallas
+from multi_adapter_particles_tpu.ops.central_well import central_well_step_pallas
+
+
+def state_from_oracle(n, seed=0):
+    pos, vel = oracle.initialize_particles(n, variant="scalar", seed=seed)
+    return ParticleState.from_aos(pos, vel), pos, vel
+
+
+class TestCentralWellKernel:
+    def test_matches_oracle(self):
+        n = 256
+        st, pos, vel = state_from_oracle(n)
+        npos, nvel = central_well_step_pallas(
+            st.position, st.velocity,
+            C.TIMESTEP, C.DAMPING, C.PARTICLE_MASS, C.SOFTENING_SQUARED,
+        )
+        opos, ovel = oracle.central_well_step(pos, vel)
+        np.testing.assert_allclose(
+            np.asarray(npos)[:, :n].T, opos, rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(nvel)[:, :n].T, ovel, rtol=2e-5, atol=2e-5
+        )
+
+    def test_multi_tile_grid(self):
+        n = 512
+        st, pos, vel = state_from_oracle(n, seed=3)
+        npos, _ = central_well_step_pallas(
+            st.position, st.velocity,
+            C.TIMESTEP, C.DAMPING, C.PARTICLE_MASS, C.SOFTENING_SQUARED,
+            tile=128,  # force a 4-step grid
+        )
+        opos, _ = oracle.central_well_step(pos, vel)
+        np.testing.assert_allclose(
+            np.asarray(npos)[:, :n].T, opos, rtol=2e-5, atol=2e-5
+        )
+
+
+class TestAllPairsKernel:
+    def test_matches_xla_blocked(self):
+        n = 256
+        st, _, _ = state_from_oracle(n, seed=1)
+        acc_p = np.asarray(
+            all_pairs_accel_pallas(
+                st.position, C.PARTICLE_MASS, C.SOFTENING_SQUARED,
+                ti=128, tj=128,
+            )
+        )
+        acc_x = np.asarray(
+            integrator.all_pairs_accel(
+                st.position, C.PARTICLE_MASS, C.SOFTENING_SQUARED, j_tile=128
+            )
+        )
+        scale = np.abs(acc_x).max()
+        assert np.abs(acc_p[:3] - acc_x).max() < 1e-5 * max(scale, 1.0)
+        # |a| channel
+        np.testing.assert_allclose(
+            acc_p[3], np.linalg.norm(acc_p[:3], axis=0), rtol=1e-5, atol=1e-6
+        )
+
+    def test_matches_oracle_step(self):
+        n = 128
+        st, pos, vel = state_from_oracle(n, seed=2)
+        from multi_adapter_particles_tpu.ops.allpairs import make_accel_fn
+
+        accel_fn = make_accel_fn(
+            C.PARTICLE_MASS, C.SOFTENING_SQUARED, ti=128, tj=128
+        )
+        from multi_adapter_particles_tpu.config import SimConfig
+
+        step = integrator.make_step(
+            SimConfig(num_particles=n, force_model="all_pairs"),
+            accel_fn=accel_fn,
+            donate=False,
+        )
+        out = step(st)
+        opos, ovel = oracle.all_pairs_step(pos, vel)
+        nvel = out.to_aos(n)[1]
+        np.testing.assert_allclose(nvel, ovel, rtol=1e-3, atol=1e-4)
+
+    def test_interaction_scale(self):
+        n = 128
+        st, _, _ = state_from_oracle(n, seed=4)
+        a1 = np.asarray(
+            all_pairs_accel_pallas(
+                st.position, C.PARTICLE_MASS, C.SOFTENING_SQUARED,
+                interaction_scale=1.0, ti=128, tj=128,
+            )
+        )
+        a2 = np.asarray(
+            all_pairs_accel_pallas(
+                st.position, C.PARTICLE_MASS, C.SOFTENING_SQUARED,
+                interaction_scale=2.0, ti=128, tj=128,
+            )
+        )
+        np.testing.assert_allclose(a2[:3], a1[:3] * 2.0, rtol=1e-5)

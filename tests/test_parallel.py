@@ -1,0 +1,173 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The TPU analog of a fake backend (SURVEY §4): correctness of the ring
+all-pairs exchange, sharded central-well, elastic re-sharding, and the
+mesh engine — all without real multi-chip hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu.config import SimConfig
+from multi_adapter_particles_tpu.models import init as pinit, integrator
+from multi_adapter_particles_tpu.parallel import (
+    MeshComputeEngine,
+    make_mesh,
+    make_sharded_step,
+    reshard_state,
+    shard_state,
+)
+from multi_adapter_particles_tpu.parallel.mesh import particle_sharding
+
+N = 1024  # padded count == N; divisible by 8 shards
+
+
+def _ref_step(cfg, donate=False):
+    return integrator.make_step(cfg, donate=donate)
+
+
+class TestShardedCentralWell:
+    def test_matches_single_device(self, eight_devices):
+        mesh = make_mesh(eight_devices)
+        cfg = SimConfig(num_particles=N)
+        state = pinit.initialize_particles_device(N, seed=7)
+        ref = _ref_step(cfg)(state)
+
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=7), mesh)
+        step = make_sharded_step(cfg, mesh, donate=False)
+        out = step(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-6, atol=1e-4,
+        )
+
+    def test_output_stays_sharded(self, eight_devices):
+        mesh = make_mesh(eight_devices)
+        cfg = SimConfig(num_particles=N)
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=0), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        assert out.position.sharding == particle_sharding(mesh)
+
+
+class TestRingAllPairs:
+    @pytest.mark.parametrize("ndev", [2, 4, 8])
+    def test_ring_matches_single_device(self, eight_devices, ndev):
+        mesh = make_mesh(eight_devices[:ndev])
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        state = pinit.initialize_particles_device(N, seed=3)
+        ref = _ref_step(cfg)(state)
+
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=3), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        # ring accumulation order differs from the single-pass sum -> fp32
+        # reassociation tolerance
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.velocity), np.asarray(ref.velocity),
+            rtol=1e-4, atol=1e-3,
+        )
+
+    def test_multi_step_trajectory(self, eight_devices):
+        mesh = make_mesh(eight_devices[:4])
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        ref_state = pinit.initialize_particles_device(N, seed=1)
+        step_ref = _ref_step(cfg)
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=1), mesh)
+        step_sh = make_sharded_step(cfg, mesh, donate=False)
+        for _ in range(5):
+            ref_state = step_ref(ref_state)
+            sstate = step_sh(sstate)
+        np.testing.assert_allclose(
+            np.asarray(sstate.position), np.asarray(ref_state.position),
+            rtol=1e-3, atol=1e-2,
+        )
+
+    def test_num_sim_freeze(self, eight_devices):
+        mesh = make_mesh(eight_devices[:4])
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=2), mesh)
+        before = np.asarray(sstate.position)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate, 256)
+        after = np.asarray(out.position)
+        assert not np.array_equal(before[:, :256], after[:, :256])
+        np.testing.assert_array_equal(before[:, 256:], after[:, 256:])
+
+
+class TestResharding:
+    def test_bitwise_across_mesh_change(self, eight_devices):
+        mesh8 = make_mesh(eight_devices)
+        mesh2 = make_mesh(eight_devices[:2])
+        state = shard_state(pinit.initialize_particles_device(N, seed=4), mesh8)
+        before = np.asarray(state.position)
+        moved = reshard_state(state, mesh2)
+        assert moved.position.sharding == particle_sharding(mesh2)
+        np.testing.assert_array_equal(before, np.asarray(moved.position))
+
+    def test_to_single_device(self, eight_devices):
+        mesh = make_mesh(eight_devices)
+        state = shard_state(pinit.initialize_particles_device(N, seed=4), mesh)
+        single = reshard_state(state, eight_devices[3])
+        assert single.position.devices() == {eight_devices[3]}
+
+    def test_trajectory_continues_after_reshard(self, eight_devices):
+        """Drain -> re-place -> resume == uninterrupted run (CopyState
+        guarantee, applied to meshes)."""
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        mesh4 = make_mesh(eight_devices[:4])
+        mesh8 = make_mesh(eight_devices)
+        ref = shard_state(pinit.initialize_particles_device(N, seed=5), mesh4)
+        step4 = make_sharded_step(cfg, mesh4, donate=False)
+        ref = step4(step4(ref))
+
+        state = shard_state(pinit.initialize_particles_device(N, seed=5), mesh4)
+        state = step4(state)
+        state = reshard_state(state, mesh8)
+        step8 = make_sharded_step(cfg, mesh8, donate=False)
+        state = step8(state)
+        np.testing.assert_allclose(
+            np.asarray(state.position), np.asarray(ref.position),
+            rtol=1e-4, atol=1e-3,
+        )
+
+
+class TestMeshEngine:
+    def test_engine_runs_and_counts(self, eight_devices):
+        mesh = make_mesh(eight_devices[:4])
+        eng = MeshComputeEngine(
+            SimConfig(num_particles=N, force_model="all_pairs"), mesh, seed=0
+        )
+        eng.simulate()
+        eng.simulate()
+        assert eng.get_fence_value() == 2
+        eng.wait_for_gpu()
+        assert np.isfinite(np.asarray(eng.positions)).all()
+
+    def test_migration_from_single_device_engine(self, eight_devices):
+        from multi_adapter_particles_tpu.runtime import ComputeEngine
+
+        cfg = SimConfig(num_particles=N)
+        single = ComputeEngine(cfg, eight_devices[0], seed=6)
+        single.simulate()
+        single.wait_for_gpu()
+        before = np.asarray(single.positions)
+        mesh = make_mesh(eight_devices)
+        eng = MeshComputeEngine(cfg, mesh, prev=single)
+        np.testing.assert_array_equal(before, np.asarray(eng.positions))
+        assert eng.get_fence_value() == 1
+        eng.simulate()
+
+    def test_snapshot_restore(self, eight_devices):
+        mesh = make_mesh(eight_devices[:2])
+        eng = MeshComputeEngine(SimConfig(num_particles=N), mesh, seed=8)
+        eng.simulate()
+        snap = eng.snapshot()
+        eng.simulate()
+        eng.restore(snap)
+        np.testing.assert_array_equal(
+            np.asarray(eng.positions), np.asarray(snap.position)
+        )

@@ -1,0 +1,194 @@
+"""Renderer tests: camera math, color rules, and golden comparison of the
+TPU tile-binned splatter against the exact sequential NumPy rasterizer
+(survey SS4: 'golden-image/golden-histogram tests for the splat renderer')."""
+
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu import constants as C
+from multi_adapter_particles_tpu.config import RenderConfig
+from multi_adapter_particles_tpu.render import camera as cam
+from multi_adapter_particles_tpu.render import reference as ref
+from multi_adapter_particles_tpu.render.renderer import Renderer
+
+
+class TestCamera:
+    def test_default_view_looks_down_minus_z(self):
+        c = cam.Camera()
+        assert np.allclose(c.look_direction, (0, 0, -1), atol=1e-6)
+        v = c.view_matrix()
+        # eye at (0,0,1500): world origin maps to eye-space (0, 0, -1500)
+        p = np.array([0, 0, 0, 1], dtype=np.float32) @ v
+        assert np.allclose(p[:3], [0, 0, -1500], atol=1e-3)
+
+    def test_projection_near_far(self):
+        p = cam.perspective_fov_rh(C.CAMERA_FOV_Y, 1.0, 1.0, 5000.0)
+        # view-space z=-near -> ndc z=0, z=-far -> ndc z=1, w = -z
+        for z, expect in ((-1.0, 0.0), (-5000.0, 1.0)):
+            clip = np.array([0, 0, z, 1.0]) @ p.astype(np.float64)
+            assert clip[3] == pytest.approx(-z)
+            assert clip[2] / clip[3] == pytest.approx(expect, abs=1e-6)
+
+    def test_center_projection(self):
+        """World origin must land in the image center."""
+        cfg = RenderConfig(width=256, height=256)
+        c = cam.Camera()
+        cx, cy, hx, hy, w = ref.project_particles(
+            np.zeros((1, 3), dtype=np.float32), c, cfg
+        )
+        assert cx[0] == pytest.approx(128.0, abs=1e-3)
+        assert cy[0] == pytest.approx(128.0, abs=1e-3)
+        assert w[0] == pytest.approx(1500.0)
+
+    def test_fly_controls(self):
+        c = cam.Camera()
+        c.key_down("w")
+        c.update(1.0)
+        c.key_up("w")
+        # looking down -z and moving forward decreases z by move_speed
+        assert c.position[2] == pytest.approx(1500.0 - c.move_speed)
+        c.key_down("left")
+        c.update(1.0)
+        assert c.yaw == pytest.approx(np.pi + c.turn_speed)
+        c.reset()
+        assert c.position == (0.0, 0.0, 1500.0) and c.yaw == pytest.approx(np.pi)
+
+    def test_pitch_clamp(self):
+        c = cam.Camera()
+        c.key_down("up")
+        c.update(10.0)
+        assert c.pitch == pytest.approx(np.pi / 4)
+
+
+class TestColors:
+    def test_vs_color_rule(self):
+        ids = np.arange(5)
+        mags = np.array([0.0, 4.5, 9.0, 18.0, 0.0], dtype=np.float32)
+        rgb = ref.particle_colors(mags, ids)
+        b = (ids & 0xFFF) / float(0xFFF)
+        np.testing.assert_allclose(rgb[:, 2], b, rtol=1e-6)
+        np.testing.assert_allclose(rgb[:, 0], 1 - b, rtol=1e-6)
+        # g = 0.1 + (mag/9) * 0.9, unclamped
+        np.testing.assert_allclose(
+            rgb[:, 1], 0.1 + (mags / 9) * 0.9, rtol=1e-5
+        )
+        assert rgb[3, 1] > 1.0  # unclamped lerp survives
+
+
+def two_particle_scene():
+    # two particles near the origin, distinct accel magnitudes
+    pos = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0],
+            [30.0, 20.0, -50.0, 4.5],
+        ],
+        dtype=np.float32,
+    )
+    return pos
+
+
+class TestReferenceRasterizer:
+    def test_single_sprite_geometry(self):
+        cfg = RenderConfig(width=128, height=128)
+        pos = np.array([[0.0, 0.0, 0.0, 0.0]], dtype=np.float32)
+        frame = ref.render_reference(
+            pos, cfg, particle_size=40.0, particle_intensity=1.0
+        )
+        # center pixel has the peak; brightness decays radially
+        c = frame[64, 64]
+        assert c.sum() > 0
+        assert frame[64, 64].sum() >= frame[64, 68].sum() >= frame[64, 72].sum()
+        # far corner untouched
+        assert frame[0, 0].sum() == 0
+
+    def test_blend_order_dependence(self):
+        """Two coincident sprites with different colors: result must equal
+        sequential over-blending in id order."""
+        cfg = RenderConfig(width=128, height=128)
+        pos = np.zeros((2, 4), dtype=np.float32)
+        pos[1, 3] = 18.0  # different g via accel
+        frame = ref.render_reference(
+            pos, cfg, particle_size=40.0, particle_intensity=1.0
+        )
+        rgb = ref.particle_colors(pos[:, 3], np.arange(2))
+        # manual blend at the exact center pixel
+        cam_ = cam.Camera()
+        cx, cy, hx, hy, _ = ref.project_particles(pos, cam_, cfg)
+        u = (64.5 - (cx[0] - hx[0] * 40)) / (2 * hx[0] * 40)
+        v = (64.5 - (cy[0] - hy[0] * 40)) / (2 * hy[0] * 40)
+        a = np.clip(0.5 - np.hypot(u - 0.5, v - 0.5), 0, 0.5)
+        expect = np.zeros(3)
+        for i in range(2):
+            expect = np.clip(rgb[i] * a + expect * (1 - a), 0, 1)
+        np.testing.assert_allclose(frame[64, 64], expect, atol=1e-5)
+
+    def test_num_draw(self):
+        cfg = RenderConfig(width=128, height=128)
+        pos = two_particle_scene()
+        f1 = ref.render_reference(pos, cfg, num_draw=1, particle_size=10.0)
+        f2 = ref.render_reference(pos[:1], cfg, particle_size=10.0)
+        np.testing.assert_array_equal(f1, f2)
+
+
+class TestTpuRenderer:
+    @pytest.mark.parametrize("n", [1, 7, 100])
+    def test_matches_reference(self, n):
+        rng = np.random.default_rng(n)
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-300, 300, size=(n, 3)).astype(np.float32)
+        pos[:, 3] = rng.uniform(0, 12, size=n).astype(np.float32)
+        cfg = RenderConfig(width=256, height=128)
+        camera = cam.Camera()
+
+        golden = ref.render_reference(
+            pos, cfg, particle_size=6.0, particle_intensity=0.5
+        )
+
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        r = Renderer(cfg, k_max=128)
+        frame = np.asarray(
+            r.render(st.position, camera, 6.0, 0.5, num_draw=n)
+        )
+        assert r.last_overflow == 0
+        # fp32 vs float64-projection oracle: allow small per-pixel slop
+        assert np.abs(frame - golden).max() < 2e-3
+
+    def test_overflow_escalation(self):
+        """Many coincident sprites must trigger k_max doubling, not silent
+        truncation."""
+        n = 300
+        pos = np.zeros((n, 4), dtype=np.float32)
+        cfg = RenderConfig(width=128, height=128)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        r = Renderer(cfg, k_max=64)
+        # size 10 -> ~1 px half-extent at this window, so sprites actually
+        # cover pixel centers (size 2.5 would be subpixel at 128 px)
+        frame = r.render(st.position, cam.Camera(), 10.0, 0.15)
+        assert r.k_max >= 256
+        assert r.last_overflow == 0
+        golden = ref.render_reference(pos, cfg, particle_size=10.0)
+        assert np.abs(np.asarray(frame) - golden).max() < 2e-3
+
+    def test_truncation_reported(self):
+        """A sprite spanning more tiles than the dup grid reports truncated."""
+        pos = np.array([[0, 0, 0, 0]], dtype=np.float32)
+        cfg = RenderConfig(width=256, height=256)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((1, 3), np.float32))
+        r = Renderer(cfg, k_max=64)
+        out = r.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
+        assert int(out.truncated) > 0
+
+    def test_empty_frame(self):
+        from multi_adapter_particles_tpu.models.state import zeros
+
+        st = zeros(128)
+        cfg = RenderConfig(width=128, height=128)
+        r = Renderer(cfg, k_max=64)
+        frame = np.asarray(r.render(st.position, cam.Camera(), 2.5, 0.15, num_draw=0))
+        assert frame.sum() == 0

@@ -1,0 +1,239 @@
+"""Runtime layer tests: engines, orchestrator, live reconfiguration.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu with 8 virtual
+devices), so every 'adapter' is a CPU device — which exercises the
+cross-device copy path (device 0 -> device 1) exactly like the reference's
+multi-adapter mode, minus real ICI.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
+from multi_adapter_particles_tpu.models import init as pinit, integrator
+from multi_adapter_particles_tpu.runtime import (
+    ComputeEngine,
+    ParticlesApp,
+    RenderEngine,
+    enumerate_adapters,
+    assign_adapters,
+)
+from multi_adapter_particles_tpu.runtime.devices import mode_banner
+
+N = 512
+SMALL_RENDER = RenderConfig(width=256, height=256)
+
+
+def small_app(**kw):
+    app_cfg = AppConfig(num_particles=N, particle_size=10.0)
+    sim_cfg = SimConfig(num_particles=N)
+    return ParticlesApp(app_cfg, sim_cfg, SMALL_RENDER, **kw)
+
+
+class TestDevices:
+    def test_enumerate_nonempty(self):
+        adapters = enumerate_adapters()
+        assert len(adapters) >= 1
+        assert all(a.index == i for i, a in enumerate(adapters))
+
+    def test_assign_default_same_device(self):
+        adapters = enumerate_adapters()
+        c, r = assign_adapters(adapters)
+        assert c.device == r.device
+
+    def test_assign_explicit(self):
+        adapters = enumerate_adapters()
+        if len(adapters) < 2:
+            pytest.skip("needs 2+ devices")
+        c, r = assign_adapters(adapters, compute_index=0, render_index=1)
+        assert c.device != r.device
+
+    def test_mode_banner(self):
+        adapters = enumerate_adapters()
+        c, r = assign_adapters(adapters)
+        assert "Async Compute" in mode_banner(c, r)
+
+
+class TestComputeEngine:
+    def test_simulate_matches_bare_integrator(self):
+        dev = jax.devices()[0]
+        eng = ComputeEngine(SimConfig(num_particles=N), dev, seed=3)
+        ref_state = pinit.initialize_particles_device(N, seed=3)
+        step = integrator.make_step(SimConfig(num_particles=N), donate=False)
+        for _ in range(5):
+            eng.simulate()
+            ref_state = step(ref_state)
+        assert eng.get_fence_value() == 5
+        # donating vs non-donating compilations may fuse differently -> tiny
+        # ulp-level drift is acceptable
+        np.testing.assert_allclose(
+            np.asarray(eng.positions),
+            np.asarray(ref_state.position),
+            rtol=1e-6, atol=2e-5,
+        )
+
+    def test_migration_preserves_state(self):
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs 2+ devices")
+        eng = ComputeEngine(SimConfig(num_particles=N), devs[0], seed=1)
+        for _ in range(3):
+            eng.simulate()
+        before = np.asarray(eng.positions)
+        eng2 = ComputeEngine(
+            SimConfig(num_particles=N), devs[1], prev=eng
+        )
+        # bitwise-continuous across the migration (CopyState guarantee)
+        np.testing.assert_array_equal(before, np.asarray(eng2.positions))
+        assert eng2.get_fence_value() == 3
+        assert devs[1] in eng2.positions.devices()
+        eng2.simulate()  # still steppable on the new device
+
+    def test_snapshot_restore(self):
+        dev = jax.devices()[0]
+        eng = ComputeEngine(SimConfig(num_particles=N), dev, seed=2)
+        eng.simulate()
+        snap = eng.snapshot()
+        eng.simulate()
+        eng.simulate()
+        eng.restore(snap)
+        np.testing.assert_array_equal(
+            np.asarray(eng.positions), np.asarray(snap.position)
+        )
+
+
+class TestRenderEngine:
+    def test_zero_copy_same_device(self):
+        dev = jax.devices()[0]
+        eng = RenderEngine(SMALL_RENDER, dev)
+        state = pinit.initialize_particles_device(N, seed=0)
+        local = eng.copy_simulation_results(state.position)
+        assert local is state.position  # async mode: no copy at all
+        assert eng.metrics.counters.get("transfer_bytes") is None
+
+    def test_cross_device_copy(self):
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs 2+ devices")
+        eng = RenderEngine(SMALL_RENDER, devs[1])
+        state = pinit.initialize_particles_device(N, seed=0)  # on devs[0]
+        local = eng.copy_simulation_results(state.position)
+        assert devs[1] in local.devices()
+        np.testing.assert_array_equal(np.asarray(local), np.asarray(state.position))
+        assert eng.metrics.counters["transfer_bytes"] == state.position.shape[1] * 16
+
+    def test_num_copy_stale_tail(self):
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs 2+ devices")
+        eng = RenderEngine(SMALL_RENDER, devs[1])
+        state = pinit.initialize_particles_device(N, seed=0)
+        full = np.asarray(state.position)
+        # first copy moves only 128 columns; the tail must stay at the pad
+        local = np.asarray(eng.copy_simulation_results(state.position, num_copy=128))
+        np.testing.assert_array_equal(local[:, :128], full[:, :128])
+        assert np.all(local[:3, 128:] == 1.0e9)  # stale = never-written pad
+        # second copy with a different prefix updates in place
+        state2 = pinit.initialize_particles_device(N, seed=9)
+        full2 = np.asarray(state2.position)
+        local2 = np.asarray(eng.copy_simulation_results(state2.position, num_copy=256))
+        np.testing.assert_array_equal(local2[:, :256], full2[:, :256])
+        np.testing.assert_array_equal(local2[:, 256:], local[:, 256:])
+
+    def test_draw_and_present(self):
+        dev = jax.devices()[0]
+        eng = RenderEngine(SMALL_RENDER, dev)
+        state = pinit.initialize_particles_device(N, seed=0)
+        app = AppConfig(num_particles=N, particle_size=10.0)
+        out = eng.draw(state.position, app, num_draw=N)
+        assert out.frame.shape == (256, 256, 3)
+        eng.present()
+        frame = np.asarray(out.frame)
+        assert np.isfinite(frame).all()
+        assert frame.max() > 0.0  # something splatted
+
+
+class TestParticlesApp:
+    def test_frames_advance_sim_and_render(self):
+        app = small_app()
+        for _ in range(3):
+            app.draw()
+        assert app.frame_count == 3
+        assert app.compute.get_fence_value() == 3
+        assert app.render.frame_count == 3
+        frame = np.asarray(app.render.last_frame)
+        assert frame.max() > 0.0
+        app.shutdown()
+
+    def test_draw_disabled(self):
+        app = small_app(draw_enabled=False)
+        app.draw()
+        assert app.render.frame_count == 0
+        assert app.compute.get_fence_value() == 1
+
+    def test_decoupled_counts(self):
+        cfg = AppConfig(
+            num_particles=N, particle_size=10.0,
+            linked=False, num_sim=128, num_draw=64, num_copy=N,
+        )
+        app = ParticlesApp(cfg, SimConfig(num_particles=N), SMALL_RENDER)
+        before = np.asarray(app.compute.positions)
+        app.draw()
+        app.compute.wait_for_gpu()
+        after = np.asarray(app.compute.positions)
+        # particles >= num_sim frozen bit-exactly (short-dispatch analog)
+        assert not np.array_equal(before[:, :128], after[:, :128])
+        np.testing.assert_array_equal(before[:, 128:N], after[:, 128:N])
+
+    def test_live_compute_reassignment(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        app = small_app()
+        app.draw()
+        app.compute.wait_for_gpu()
+        pos_before = np.asarray(app.compute.positions)
+        fence_before = app.compute.get_fence_value()
+        app.set_compute_adapter(1)
+        app.draw()  # reconfiguration happens post-present inside draw()
+        # next frame runs on the new device
+        app.draw()
+        assert app.adapters[1].device in app.compute.positions.devices()
+        assert app.compute.get_fence_value() == fence_before + 2
+        assert not app.async_mode  # render stayed on device 0
+        app.shutdown()
+
+    def test_trajectory_continuous_across_reassignment(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        # Reference guarantee: state migrates, trajectory continues
+        # (Compute::CopyState). Compare against an uninterrupted run.
+        app = small_app()
+        ref = ComputeEngine(
+            SimConfig(num_particles=N), jax.devices()[0], seed=0
+        )
+        app.draw()
+        ref.simulate()
+        app.set_compute_adapter(1)
+        app.draw()  # migrate at end of this frame
+        ref.simulate()
+        app.draw()
+        ref.simulate()
+        app.compute.wait_for_gpu()
+        np.testing.assert_allclose(
+            np.asarray(app.compute.positions),
+            np.asarray(ref.positions),
+            rtol=1e-6, atol=1e-4,
+        )
+        app.shutdown()
+
+    def test_profile_mode_records_stages(self):
+        app = small_app(profile_every=1)
+        app.draw()
+        app.draw()
+        assert "simulate" in app.metrics.stages
+        assert "render" in app.metrics.stages
+        assert app.metrics.stages["simulate"].milliseconds > 0.0
+        d = app.metrics.as_dict()
+        assert d["counters"]["frames"] == 2
+        app.shutdown()

@@ -66,6 +66,14 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                lambda: extra.__setitem__("draw", False))
     p.add_flag("listadapters", "print the adapter list and exit",
                lambda: extra.__setitem__("list_adapters", True))
+    p.add_str("dashboard", "write a live HTML dashboard to this path",
+              lambda v: extra.__setitem__("dashboard", v))
+    p.add_str("checkpoint", "write a state checkpoint here at exit (.npz)",
+              lambda v: extra.__setitem__("checkpoint", v))
+    p.add_int("checkpointevery", "also checkpoint every K frames",
+              lambda v: extra.__setitem__("checkpoint_every", v))
+    p.add_str("resume", "resume state from a checkpoint (.npz)",
+              lambda v: extra.__setitem__("resume", v))
     return p
 
 
@@ -76,15 +84,9 @@ def write_frame(frame, path: str) -> None:
     if path.endswith(".npy"):
         np.save(path, arr)
         return
-    img = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype("uint8")
-    try:
-        from PIL import Image  # pillow may not be present; gate it
+    from multi_adapter_particles_tpu.utils.png import write_png
 
-        Image.fromarray(img).save(path)
-    except ImportError:
-        alt = path.rsplit(".", 1)[0] + ".npy"
-        np.save(alt, arr)
-        print(f"PIL unavailable; wrote {alt} instead", file=sys.stderr)
+    write_png(path, arr)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -126,10 +128,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         profile_every=profile_every,
     )
 
+    if "resume" in extra:
+        from multi_adapter_particles_tpu.utils.checkpoint import load_checkpoint
+
+        state, step, _n = load_checkpoint(extra["resume"])
+        particles.compute.restore(state)
+        particles.compute.step_count = step
+        particles.share_handles()
+
+    ckpt_every = extra.get("checkpoint_every", 0)
+
     def overlay(p: ParticlesApp):
         if app_cfg.gui and p.frame_count % 30 == 0:
             print(f"--- frame {p.frame_count} ---")
             print(p.metrics.render_text())
+        if "dashboard" in extra and p.frame_count % 30 == 0:
+            from multi_adapter_particles_tpu.utils import dashboard
+
+            dashboard.write_html(
+                p, extra["dashboard"], frame=p.render.last_frame
+            )
+        if ckpt_every and "checkpoint" in extra and p.frame_count % ckpt_every == 0:
+            from multi_adapter_particles_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                extra["checkpoint"], p.compute.state,
+                p.compute.get_fence_value(), app_cfg.num_particles,
+            )
 
     target_fps = 60.0 if app_cfg.vsync else None
     try:
@@ -144,6 +169,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     particles.shutdown()
 
     print(particles.metrics.render_text())
+    if "dashboard" in extra:
+        from multi_adapter_particles_tpu.utils import dashboard
+
+        dashboard.write_html(
+            particles, extra["dashboard"], frame=particles.render.last_frame
+        )
+    if "checkpoint" in extra:
+        from multi_adapter_particles_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            extra["checkpoint"], particles.compute.state,
+            particles.compute.get_fence_value(), app_cfg.num_particles,
+        )
     if "dumpframe" in extra and particles.render.last_frame is not None:
         write_frame(particles.render.last_frame, extra["dumpframe"])
     if "metrics" in extra:

@@ -138,7 +138,10 @@ def initialize_particles_host(
 ) -> ParticleState:
     """Host-side init through an oracle tier (or the native C++ engine when
     available), then upload — the staging-buffer path analog."""
-    if use_native is None or use_native:
+    # Auto mode (None) routes only the LCG tiers to native: those are
+    # bit-identical to the oracle; native 'orig' (std::mt19937) is
+    # deterministic but draws a different stream than NumPy's MT19937.
+    if use_native or (use_native is None and variant in ("scalar", "simd")):
         try:
             from multi_adapter_particles_tpu.native import fastinit
 

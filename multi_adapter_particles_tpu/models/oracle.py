@@ -87,16 +87,35 @@ class RandSse:
 # ---------------------------------------------------------------------------
 # Particle initialization (LoadParticles, Compute.cpp:667-812)
 # ---------------------------------------------------------------------------
+def _dot3(a: np.ndarray, b: np.ndarray) -> F32:
+    """Sequential float32 dot — explicit rounding order so the native C++
+    implementation (native/fastinit.cpp) can reproduce it bit-for-bit.
+    (np.dot routes tiny float32 dots through BLAS, whose accumulation
+    order/FMA use is platform-dependent.)"""
+    return F32(F32(a[0] * b[0] + a[1] * b[1]) + a[2] * b[2])
+
+
+def _cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.array(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        dtype=F32,
+    )
+
+
 def _finalize(delta: np.ndarray, center: np.ndarray, speed: F32, spread: F32):
     """Shared tail of all LoadParticles variants (Compute.cpp:697-708)."""
     delta = delta[:3]
-    delta = delta / F32(np.sqrt(np.dot(delta, delta)))
+    delta = delta / F32(np.sqrt(_dot3(delta, delta)))
     pos = (center + delta * spread).astype(F32)
     # velocity perpendicular-ish to the direction to the center of gravity
-    direction = pos / F32(np.sqrt(np.dot(pos, pos)))
+    direction = pos / F32(np.sqrt(_dot3(pos, pos)))
     perp = np.array([1, 1, 1], dtype=F32) - direction
-    perp = perp / F32(np.sqrt(np.dot(perp, perp)))
-    vel = np.cross(direction, perp).astype(F32) * speed
+    perp = perp / F32(np.sqrt(_dot3(perp, perp)))
+    vel = _cross3(direction, perp) * speed
     return pos, vel
 
 
@@ -127,7 +146,7 @@ def load_particles(
 
         for i in range(num_particles):
             delta = draw3()
-            while np.dot(delta, delta) < C.INIT_DELTA_LENGTH_SQ_MIN:
+            while _dot3(delta, delta) < C.INIT_DELTA_LENGTH_SQ_MIN:
                 delta = delta + draw3()
             pos, vel = _finalize(delta, center, speed, spread_f)
             positions[i, :3] = pos
@@ -137,7 +156,7 @@ def load_particles(
         rng = FastRand(seed)
         for i in range(num_particles):
             delta = rng.uniform3()
-            while np.dot(delta, delta) < C.INIT_DELTA_LENGTH_SQ_MIN:
+            while _dot3(delta, delta) < C.INIT_DELTA_LENGTH_SQ_MIN:
                 delta = delta + rng.uniform3()
             pos, vel = _finalize(delta, center, speed, spread_f)
             positions[i, :3] = pos
@@ -150,7 +169,7 @@ def load_particles(
             delta = np.zeros(4, dtype=F32)
             while True:
                 delta = delta + rng.uniform4()
-                if np.dot(delta[:3], delta[:3]) >= C.INIT_DELTA_LENGTH_SQ_MIN:
+                if _dot3(delta[:3], delta[:3]) >= C.INIT_DELTA_LENGTH_SQ_MIN:
                     break
             pos, vel = _finalize(delta, center, speed, spread_f)
             positions[i, :3] = pos

@@ -50,6 +50,8 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_int("seed", "init RNG seed", lambda v: extra.__setitem__("seed", v))
     p.add_str("force", "force model: central_well | all_pairs",
               lambda v: extra.__setitem__("force", v))
+    p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
+              lambda v: extra.__setitem__("mesh_devices", v))
     p.add_int("computeadapter", "compute adapter index",
               lambda v: extra.__setitem__("compute_adapter", v))
     p.add_int("renderadapter", "render adapter index",
@@ -64,6 +66,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               lambda v: extra.__setitem__("profile_every", v))
     p.add_flag("nodraw", "simulate only (SPACE-toggle analog)",
                lambda: extra.__setitem__("draw", False))
+    p.add_flag("interactive",
+               "read keys: SPACE toggles draw, ESC/q quits, WASD/arrows fly",
+               lambda: extra.__setitem__("interactive", True))
     p.add_flag("listadapters", "print the adapter list and exit",
                lambda: extra.__setitem__("list_adapters", True))
     p.add_str("dashboard", "write a live HTML dashboard to this path",
@@ -126,6 +131,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         seed=extra.get("seed", 0),
         draw_enabled=extra.get("draw", True),
         profile_every=profile_every,
+        mesh_devices=extra.get("mesh_devices", 0),
     )
 
     if "resume" in extra:
@@ -158,7 +164,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     target_fps = 60.0 if app_cfg.vsync else None
     try:
-        if steps <= 0:
+        if extra.get("interactive"):
+            from multi_adapter_particles_tpu.runtime.input import TerminalInput
+
+            with TerminalInput() as ti:
+                frames = 0
+                while steps <= 0 or frames < steps:
+                    inp = ti.poll()
+                    if inp.quit:
+                        break
+                    if inp.toggle_draw:
+                        particles.draw_enabled = not particles.draw_enabled
+                    for key in inp.pressed:
+                        particles.render.camera.key_down(key)
+                    particles.draw()
+                    particles.render.camera.update(
+                        particles.metrics.frame_timer.average
+                    )
+                    for key in inp.pressed:
+                        particles.render.camera.key_up(key)
+                    overlay(particles)
+                    frames += 1
+        elif steps <= 0:
             while True:
                 particles.draw()
                 overlay(particles)

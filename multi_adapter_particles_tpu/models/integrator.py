@@ -124,10 +124,14 @@ def euler_update(
 def _apply_num_sim_mask(
     new_pos: Array, new_vel: Array, old: ParticleState, num_sim: Optional[int]
 ) -> ParticleState:
-    """Freeze particles beyond num_sim, like a short dispatch
-    (`Compute.cpp:1041` dispatches ceil(numSim/64) groups only)."""
+    """Freeze particles beyond num_sim, like a short dispatch.
+
+    The reference dispatches whole 64-thread groups — ceil(numSim/64)
+    (`Compute.cpp:1041`, BLOCK_SIZE `defines.h:37`) — so the effective count
+    rounds UP to the next BLOCK_SIZE multiple; reproduced exactly here."""
     if num_sim is None:
         return ParticleState(new_pos, new_vel)
+    num_sim = -(-int(num_sim) // C.BLOCK_SIZE) * C.BLOCK_SIZE
     idx = jnp.arange(new_pos.shape[-1])
     live = idx < num_sim
     pos = jnp.where(live[None, :], new_pos, old.position)

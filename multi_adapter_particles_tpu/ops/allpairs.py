@@ -35,12 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
 
-# Default tile sizes. VMEM at (TI=512, TJ=1024): each [TI, TJ] f32 plane is
+# Default tile sizes. VMEM at (TI=256, TJ=2048): each [TI, TJ] f32 plane is
 # 2 MiB; the fused expression keeps ~5 planes live => ~10 MiB peak, inside
-# the 16 MiB/core scoped-vmem budget (TI=TJ=1024 overflows it by ~100 KiB).
-# The j-stream buffers are tiny (2 x 4 x TJ).
-DEFAULT_TI = 512
-DEFAULT_TJ = 1024
+# the 16 MiB/core scoped-vmem budget ((1024,1024)/(2048,256) fail to
+# compile; measured sweep on v5e: (256,2048) 0.168 Tpairs/s vs (512,1024)
+# 0.159, (1024,512) 0.109). The j-stream buffers are tiny (2 x 4 x TJ).
+DEFAULT_TI = 256
+DEFAULT_TJ = 2048
 
 
 def _allpairs_kernel(

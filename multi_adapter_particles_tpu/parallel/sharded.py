@@ -121,10 +121,14 @@ def make_sharded_step(
         )
         if num_sim is not None:
             # Freeze particles >= num_sim (short-dispatch analog,
-            # Compute.cpp:1041) using this shard's *global* indices.
+            # Compute.cpp:1041: whole 64-thread groups, so round UP to
+            # BLOCK_SIZE) using this shard's *global* indices.
+            from multi_adapter_particles_tpu import constants as C
+
+            eff = -(-int(num_sim) // C.BLOCK_SIZE) * C.BLOCK_SIZE
             n_loc = position.shape[1]
             gidx = jax.lax.axis_index(AXIS) * n_loc + jnp.arange(n_loc)
-            live = (gidx < num_sim)[None, :]
+            live = (gidx < eff)[None, :]
             new_pos = jnp.where(live, new_pos, old_position)
             new_vel = jnp.where(live, new_vel, old_velocity)
         return new_pos, new_vel

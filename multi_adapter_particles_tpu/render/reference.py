@@ -17,8 +17,17 @@ Implements the reference draw pipeline semantics precisely
   * intensity; rgb passes through.
 - Blend SRC_ALPHA / INV_SRC_ALPHA, no depth test, black clear, particles
   composited in draw order (= particle id order, one DrawInstanced call,
-  `Render.cpp:891`); each write clamps to [0, 1] like a UNORM render target.
+  `Render.cpp:891`).
 - D3D viewport transform: pixel centers at integer+0.5, y down.
+
+Deliberate deviation from D3D UNORM8 blending: instead of clamping (and
+quantizing) the running framebuffer after EVERY blend, the source term is
+clamped per sprite (src = clip(rgb * alpha, 0, 1)) and the final image is
+clipped once. This makes over-composition exactly associative — (color,
+transmittance) forms a monoid — which the TPU renderer exploits to
+composite deep tiles in parallel segments. The two rules differ only
+when the unclamped running value would overshoot 1 (hot saturated cores,
+where both converge to white); neither reproduces UNORM8 quantization.
 
 O(N * sprite_area) per frame in Python/NumPy — use small N. The TPU
 renderer (`renderer.py`) is validated against this bit-for-intent.
@@ -123,8 +132,6 @@ def render_reference(
         dist = np.sqrt(du[None, :] ** 2 + dv[:, None] ** 2)
         alpha = np.clip(F32(0.5) - dist, 0.0, 0.5) * F32(particle_intensity)
         tile = frame[py0:py1, px0:px1, :]
-        src = rgb[i][None, None, :] * alpha[:, :, None]
-        frame[py0:py1, px0:px1, :] = np.clip(
-            src + tile * (1.0 - alpha[:, :, None]), 0.0, 1.0
-        )
-    return frame
+        src = np.clip(rgb[i][None, None, :] * alpha[:, :, None], 0.0, 1.0)
+        frame[py0:py1, px0:px1, :] = src + tile * (1.0 - alpha[:, :, None])
+    return np.clip(frame, 0.0, 1.0)

@@ -85,7 +85,7 @@ def _colors(position, num_particles):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "k_max", "dup_y", "dup_x", "near", "blend",
+        "width", "height", "seg_q", "dup_y", "dup_x", "near", "blend",
     ),
 )
 def _render(
@@ -99,11 +99,11 @@ def _render(
     *,
     width: int,
     height: int,
-    k_max: int,
+    seg_q: int,            # sprites per segment row (perf knob, not coverage)
     dup_y: int,
     dup_x: int,
     near: float,
-    blend: str,            # 'over' (exact) | 'additive' (order-free approx)
+    blend: str,            # 'over' (exact) | 'additive' (order-free)
 ) -> FrameOutput:
     n = position.shape[1]
     gh, gw = height // TILE_H, width // TILE_W
@@ -163,26 +163,6 @@ def _render(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     )
     counts = starts[1:] - starts[:-1]                     # [T]
-    overflow = jnp.sum(jnp.maximum(counts - k_max, 0))
-
-    # Per-tile sprite index matrix [T, k_max] -> particle ids, invalid -> -1.
-    kk = jnp.arange(k_max, dtype=jnp.int32)
-    gather_idx = starts[:-1, None] + kk[None, :]
-    valid_k = kk[None, :] < counts[:, None]
-    pid = jnp.where(
-        valid_k, sorted_pid[jnp.clip(gather_idx, 0, n * dup - 1)], 0
-    )
-
-    # Gather sprite params into [k_max, T] scan inputs.
-    def g(a):
-        return a[pid].T  # [k_max, T]
-
-    xs = (
-        g(cx), g(cy),
-        g(1.0 / (2.0 * hx)), g(1.0 / (2.0 * hy)),
-        g(cr), g(cg), g(cb),
-        jnp.where(valid_k, intensity, 0.0).T,  # dead slots blend nothing
-    )
 
     # Pixel-center coordinate planes per tile: [T, tile_px].
     tidx = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -195,24 +175,96 @@ def _render(
     pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
     pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
-    def step(frame, sprite):
-        scx, scy, sihx, sihy, sr, sg, sb, sa = sprite  # each [T]
-        du = (pxc - scx[:, None]) * sihx[:, None]      # (px-cx)/(2hx) = u-.5
-        dv = (pyc - scy[:, None]) * sihy[:, None]
-        dist = jnp.sqrt(du * du + dv * dv)
-        alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa[:, None]  # [T, tile_px]
-        rgb = jnp.stack([sr, sg, sb], axis=1)[:, :, None]     # [T, 3, 1]
-        src = rgb * alpha[:, None, :]
-        if blend == "over":
-            frame = jnp.clip(src + frame * (1.0 - alpha[:, None, :]), 0.0, 1.0)
-        else:  # additive
-            frame = src + frame
-        return frame, None
+    inv2hx = 1.0 / (2.0 * hx)
+    inv2hy = 1.0 / (2.0 * hy)
 
-    frame0 = jnp.zeros((num_tiles, 3, TILE_H * TILE_W), jnp.float32)
-    frame_t, _ = jax.lax.scan(step, frame0, xs)
-    if blend != "over":
-        frame_t = jnp.clip(frame_t, 0.0, 1.0)
+    # ---- exact segmented composite -----------------------------------------
+    # Over-composition with a per-sprite source clamp is ASSOCIATIVE on
+    # (premultiplied color C, transmittance T): later ∘ earlier =
+    # (C_l + C_e * T_l, T_e * T_l). So each tile's entry list splits into
+    # segments of Q sprites; every segment is one "virtual row" of a single
+    # depth-Q scan (total work ∝ actual entries + T*Q, with NO per-tile
+    # depth cap — a 65K-sprite cluster-core tile just contributes 65K/Q
+    # rows), then consecutive rows of the same tile tree-combine in
+    # O(log(max_segments)) passes. Exact for any depth: no overflow, ever.
+    px_count = TILE_H * TILE_W
+    e_total = n * dup
+    q = seg_q
+    max_segs = -(-e_total // q)            # one tile could hold everything
+    num_rows = num_tiles + e_total // q    # static bound: sum ceil(c/Q)
+
+    segs = jnp.maximum(-(-counts // q), 1)         # empty tile -> 1 empty row
+    row_end = jnp.cumsum(segs).astype(jnp.int32)   # [T]
+    row_start = (row_end - segs).astype(jnp.int32)
+    v = jnp.arange(num_rows, dtype=jnp.int32)
+    tile_v = jnp.searchsorted(row_end, v, side="right").astype(jnp.int32)
+    valid_v = v < row_end[-1]
+    tile_vc = jnp.clip(tile_v, 0, num_tiles - 1)
+    seg_v = v - row_start[tile_vc]
+    base_v = starts[:-1][tile_vc] + seg_v * q
+    rem_v = jnp.where(valid_v, counts[tile_vc] - seg_v * q, 0)
+
+    kk = jnp.arange(q, dtype=jnp.int32)
+    valid_k = kk[None, :] < jnp.minimum(rem_v, q)[:, None]   # [V, Q]
+    gather_idx = base_v[:, None] + kk[None, :]
+    pid = jnp.where(
+        valid_k, sorted_pid[jnp.clip(gather_idx, 0, e_total - 1)], 0
+    )
+
+    def g(a):
+        return a[pid].T  # [Q, V]
+
+    xs = (
+        g(cx), g(cy), g(inv2hx), g(inv2hy), g(cr), g(cg), g(cb),
+        jnp.where(valid_k, intensity, 0.0).T,  # dead slots blend nothing
+    )
+    pxc_v = pxc[tile_vc]
+    pyc_v = pyc[tile_vc]
+
+    def step(carry, sprite):
+        cbuf, tbuf = carry
+        scx, scy, sihx, sihy, sr, sg, sb, sa = sprite  # each [V]
+        du = (pxc_v - scx[:, None]) * sihx[:, None]    # (px-cx)/(2hx)
+        dv = (pyc_v - scy[:, None]) * sihy[:, None]
+        dist = jnp.sqrt(du * du + dv * dv)
+        alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa[:, None]       # [V, px]
+        rgb = jnp.stack([sr, sg, sb], axis=1)[:, :, None]          # [V,3,1]
+        src = jnp.clip(rgb * alpha[:, None, :], 0.0, 1.0)
+        if blend == "over":
+            cbuf = cbuf * (1.0 - alpha[:, None, :]) + src
+            tbuf = tbuf * (1.0 - alpha)
+        else:  # additive
+            cbuf = cbuf + src
+        return (cbuf, tbuf), None
+
+    c0 = jnp.zeros((num_rows, 3, px_count), jnp.float32)
+    t0 = jnp.ones((num_rows, px_count), jnp.float32)
+    (cv, tv), _ = jax.lax.scan(step, (c0, t0), xs)
+
+    # tree-combine segment rows (consecutive rows share a tile)
+    segs_v = segs[tile_vc]
+    passes = max(max_segs - 1, 0).bit_length()
+    for p in range(passes):
+        s = 1 << p
+        part_c = jnp.concatenate(
+            [cv[s:], jnp.zeros((s, 3, px_count), jnp.float32)], axis=0
+        )
+        part_t = jnp.concatenate(
+            [tv[s:], jnp.ones((s, px_count), jnp.float32)], axis=0
+        )
+        take = (seg_v % (2 * s) == 0) & (seg_v + s < segs_v)  # [V]
+        if blend == "over":
+            # this row = earlier segments, partner = later: later on top
+            cv = jnp.where(
+                take[:, None, None], cv * part_t[:, None, :] + part_c, cv
+            )
+            tv = jnp.where(take[:, None], tv * part_t, tv)
+        else:
+            cv = jnp.where(take[:, None, None], cv + part_c, cv)
+
+    frame_t = cv[row_start]  # [T, 3, px] — segment-0 row holds the composite
+    frame_t = jnp.clip(frame_t, 0.0, 1.0)
+    overflow = jnp.int32(0)  # the segmented composite is exact — kept for API
 
     # [T, 3, th*tw] -> [H, W, 3]
     frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
@@ -225,17 +277,17 @@ def _render(
 class Renderer:
     """Headless splat renderer with reference semantics.
 
-    k_max is the per-tile sprite budget (static; per-bucket compilations are
-    cached). `render()` auto-doubles the bucket when a frame overflows, up
-    to `k_max_limit` — after that the overflow count is reported and the
-    tail dropped (and `last_overflow` exposes it, the no-silent-caps rule).
+    The composite is exact at any tile depth (segmented associative
+    over-composition — see `_render`); `seg_q` is a pure performance knob
+    (sprites per segment row). `last_overflow` is always 0 and kept only
+    for the metrics surface; `last_truncated` reports sprites larger than
+    the dup_y x dup_x tile window (fix by raising those).
     """
 
     def __init__(
         self,
         config: Optional[RenderConfig] = None,
-        k_max: int = 512,
-        k_max_limit: int = 16384,
+        seg_q: int = 64,
         dup_y: int = 3,
         dup_x: int = 2,
         blend: str = "over",
@@ -245,8 +297,7 @@ class Renderer:
             raise ValueError(
                 f"width must be a multiple of {TILE_W} and height of {TILE_H}"
             )
-        self.k_max = k_max
-        self.k_max_limit = k_max_limit
+        self.seg_q = seg_q
         self.dup_y = dup_y
         self.dup_x = dup_x
         self.blend = blend
@@ -260,7 +311,7 @@ class Renderer:
         particle_size: float,
         particle_intensity: float,
         num_draw: Optional[int] = None,
-        k_max: Optional[int] = None,
+        seg_q: Optional[int] = None,
     ) -> FrameOutput:
         """One jitted render dispatch (no host sync)."""
         cfg = self.config
@@ -279,7 +330,7 @@ class Renderer:
             jnp.int32(n if num_draw is None else num_draw),
             width=cfg.width,
             height=cfg.height,
-            k_max=k_max or self.k_max,
+            seg_q=seg_q or self.seg_q,
             dup_y=self.dup_y,
             dup_x=self.dup_x,
             near=cfg.near,
@@ -288,16 +339,13 @@ class Renderer:
 
     def render(self, position, camera, particle_size, particle_intensity,
                num_draw=None) -> jax.Array:
-        """Render with automatic k_max escalation (blocks on overflow check)."""
-        while True:
-            out = self.render_arrays(
-                position, camera, particle_size, particle_intensity, num_draw
-            )
-            self.last_overflow = int(out.overflow)
-            self.last_truncated = int(out.truncated)
-            if self.last_overflow == 0 or self.k_max >= self.k_max_limit:
-                return out.frame
-            self.k_max = min(self.k_max * 2, self.k_max_limit)
+        """One frame (exact at any depth), tracking the truncation metric."""
+        out = self.render_arrays(
+            position, camera, particle_size, particle_intensity, num_draw
+        )
+        self.last_overflow = int(out.overflow)
+        self.last_truncated = int(out.truncated)
+        return out.frame
 
     def to_numpy_image(self, frame: jax.Array) -> np.ndarray:
         """[H, W, 3] float -> uint8 image."""

@@ -42,7 +42,11 @@ class ParticlesApp:
         seed: int = 0,
         draw_enabled: bool = True,
         profile_every: int = 0,
+        mesh_devices: int = 0,
     ):
+        """`mesh_devices` > 1 runs the compute role on a mesh of that many
+        devices (sharded sim + ring force exchange) — the multi-adapter
+        split scaled out; 0/1 = single-device compute engine."""
         self.app = app_config or AppConfig()
         self.sim_config = sim_config or SimConfig(
             num_particles=self.app.num_particles
@@ -66,9 +70,30 @@ class ParticlesApp:
         self._prev_compute_index = compute_ad.index
         self._prev_render_index = render_ad.index
 
-        self.compute = ComputeEngine(
-            self.sim_config, compute_ad.device, self.metrics, seed=seed
-        )
+        self.mesh_devices = mesh_devices
+        if mesh_devices > 1:
+            from multi_adapter_particles_tpu.parallel import (
+                MeshComputeEngine,
+                make_mesh,
+            )
+
+            devices = [
+                a.device
+                for a in self.adapters
+                if a.platform == compute_ad.platform
+            ][:mesh_devices]
+            if len(devices) < mesh_devices:
+                raise ValueError(
+                    f"mesh of {mesh_devices} requested but only "
+                    f"{len(devices)} {compute_ad.platform} devices exist"
+                )
+            self.compute = MeshComputeEngine(
+                self.sim_config, make_mesh(devices), self.metrics, seed=seed
+            )
+        else:
+            self.compute = ComputeEngine(
+                self.sim_config, compute_ad.device, self.metrics, seed=seed
+            )
         self.render = RenderEngine(
             self.render_config, render_ad.device, self.metrics
         )
@@ -78,13 +103,55 @@ class ParticlesApp:
     # -- handle brokering (`Particles::ShareHandles`, Particles.cpp:191-208) ----
     def share_handles(self) -> None:
         self._display_positions = self.compute.positions
-        self.async_mode = self.compute_adapter.device == self.render_adapter.device
-        self.metrics.gauge(
-            "mode_banner",
-            devmod.mode_banner(self.compute_adapter, self.render_adapter),
-        )
+        if self.mesh_devices > 1:
+            self.async_mode = False
+            self.metrics.gauge(
+                "mode_banner",
+                f"Multi-Chip Mesh Compute ({self.mesh_devices} devices)"
+                " + render consume",
+            )
+            self.metrics.gauge("mesh", f"{self.mesh_devices}x1 particles-axis")
+        else:
+            self.async_mode = (
+                self.compute_adapter.device == self.render_adapter.device
+            )
+            self.metrics.gauge(
+                "mode_banner",
+                devmod.mode_banner(self.compute_adapter, self.render_adapter),
+            )
         self.metrics.gauge("compute_device", self.compute_adapter.description)
         self.metrics.gauge("render_device", self.render_adapter.description)
+
+    # -- elastic mesh rescale (BASELINE "runtime shard rebalancing") ------------
+    def set_mesh_devices(self, k: int) -> None:
+        """Live-rescale the compute role to a k-device mesh (or back to a
+        single device with k <= 1): drain -> re-shard -> resume."""
+        from multi_adapter_particles_tpu.parallel import (
+            MeshComputeEngine,
+            make_mesh,
+        )
+
+        self.render.wait_for_gpu()
+        self.compute.wait_for_gpu()
+        if k > 1:
+            devices = [
+                a.device
+                for a in self.adapters
+                if a.platform == self.compute_adapter.platform
+            ][:k]
+            if len(devices) < k:
+                raise ValueError(f"only {len(devices)} devices for mesh of {k}")
+            self.compute = MeshComputeEngine(
+                self.sim_config, make_mesh(devices), self.metrics,
+                prev=self.compute,
+            )
+        else:
+            self.compute = ComputeEngine(
+                self.sim_config, self.compute_adapter.device, self.metrics,
+                prev=self.compute,
+            )
+        self.mesh_devices = k
+        self.share_handles()
 
     # -- per-frame pipeline -------------------------------------------------------
     def draw(self) -> None:

@@ -171,3 +171,51 @@ class TestMeshEngine:
         np.testing.assert_array_equal(
             np.asarray(eng.positions), np.asarray(snap.position)
         )
+
+
+class TestMeshInOrchestrator:
+    def test_mesh_compute_role(self, eight_devices):
+        from multi_adapter_particles_tpu.config import AppConfig, RenderConfig
+        from multi_adapter_particles_tpu.runtime import ParticlesApp
+
+        app = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N, force_model="all_pairs"),
+            RenderConfig(width=256, height=256),
+            mesh_devices=4,
+        )
+        assert "Mesh Compute" in app.metrics.gauges["mode_banner"]
+        app.draw()
+        app.draw()
+        assert app.compute.get_fence_value() == 2
+        frame = np.asarray(app.render.last_frame)
+        assert np.isfinite(frame).all() and frame.max() > 0
+        app.shutdown()
+
+    def test_live_mesh_rescale(self, eight_devices):
+        """2-device mesh -> 8-device mesh -> single device, trajectory
+        continuous (the runtime shard-rebalancing config)."""
+        from multi_adapter_particles_tpu.config import AppConfig, RenderConfig
+        from multi_adapter_particles_tpu.runtime import ParticlesApp
+        from multi_adapter_particles_tpu.runtime.compute_engine import ComputeEngine
+
+        cfg = SimConfig(num_particles=N)
+        ref = ComputeEngine(cfg, eight_devices[0], seed=0, donate=False)
+        app = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            cfg,
+            RenderConfig(width=256, height=256),
+            mesh_devices=2,
+        )
+        app.draw(); ref.simulate()
+        app.set_mesh_devices(8)
+        assert app.compute.mesh.devices.size == 8
+        app.draw(); ref.simulate()
+        app.set_mesh_devices(1)
+        app.draw(); ref.simulate()
+        app.compute.wait_for_gpu(); ref.wait_for_gpu()
+        np.testing.assert_allclose(
+            np.asarray(app.compute.positions), np.asarray(ref.positions),
+            rtol=1e-5, atol=1e-3,
+        )
+        app.shutdown()

@@ -119,7 +119,9 @@ class TestReferenceRasterizer:
         a = np.clip(0.5 - np.hypot(u - 0.5, v - 0.5), 0, 0.5)
         expect = np.zeros(3)
         for i in range(2):
-            expect = np.clip(rgb[i] * a + expect * (1 - a), 0, 1)
+            # associative semantics: per-sprite source clamp, final clip
+            expect = np.clip(rgb[i] * a, 0, 1) + expect * (1 - a)
+        expect = np.clip(expect, 0, 1)
         np.testing.assert_allclose(frame[64, 64], expect, atol=1e-5)
 
     def test_num_draw(self):
@@ -147,7 +149,7 @@ class TestTpuRenderer:
         from multi_adapter_particles_tpu.models.state import ParticleState
 
         st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
-        r = Renderer(cfg, k_max=128)
+        r = Renderer(cfg)
         frame = np.asarray(
             r.render(st.position, camera, 6.0, 0.5, num_draw=n)
         )
@@ -155,20 +157,19 @@ class TestTpuRenderer:
         # fp32 vs float64-projection oracle: allow small per-pixel slop
         assert np.abs(frame - golden).max() < 2e-3
 
-    def test_overflow_escalation(self):
-        """Many coincident sprites must trigger k_max doubling, not silent
-        truncation."""
+    def test_deep_tile_exact(self):
+        """Many coincident sprites (deeper than seg_q) composite exactly —
+        the segmented engine has no depth cap (no silent truncation)."""
         n = 300
         pos = np.zeros((n, 4), dtype=np.float32)
         cfg = RenderConfig(width=128, height=128)
         from multi_adapter_particles_tpu.models.state import ParticleState
 
         st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
-        r = Renderer(cfg, k_max=64)
+        r = Renderer(cfg, seg_q=16)  # forces ~19 segments on the hot tile
         # size 10 -> ~1 px half-extent at this window, so sprites actually
         # cover pixel centers (size 2.5 would be subpixel at 128 px)
         frame = r.render(st.position, cam.Camera(), 10.0, 0.15)
-        assert r.k_max >= 256
         assert r.last_overflow == 0
         golden = ref.render_reference(pos, cfg, particle_size=10.0)
         assert np.abs(np.asarray(frame) - golden).max() < 2e-3
@@ -180,7 +181,7 @@ class TestTpuRenderer:
         from multi_adapter_particles_tpu.models.state import ParticleState
 
         st = ParticleState.from_aos(pos, np.zeros((1, 3), np.float32))
-        r = Renderer(cfg, k_max=64)
+        r = Renderer(cfg)
         out = r.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
         assert int(out.truncated) > 0
 
@@ -189,6 +190,27 @@ class TestTpuRenderer:
 
         st = zeros(128)
         cfg = RenderConfig(width=128, height=128)
-        r = Renderer(cfg, k_max=64)
+        r = Renderer(cfg)
         frame = np.asarray(r.render(st.position, cam.Camera(), 2.5, 0.15, num_draw=0))
         assert frame.sum() == 0
+
+
+class TestSegQInvariance:
+    def test_result_independent_of_seg_q(self):
+        """seg_q is a pure performance knob: any value gives the same image
+        (associativity of the segmented composite)."""
+        import jax.numpy as jnp
+
+        n = 100
+        rng = np.random.default_rng(5)
+        pos = np.zeros((4, n), np.float32)
+        pos[:3] = rng.uniform(-50, 50, size=(3, n)).astype(np.float32)
+        cfg = RenderConfig(width=128, height=64)
+        camera = cam.Camera()
+        frames = []
+        for q in (4, 16, 128):
+            r = Renderer(cfg, seg_q=q)
+            out = r.render_arrays(jnp.asarray(pos), camera, 100.0, 0.3)
+            frames.append(np.asarray(out.frame))
+        np.testing.assert_allclose(frames[0], frames[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(frames[0], frames[2], rtol=1e-5, atol=1e-6)

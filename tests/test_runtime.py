@@ -237,3 +237,19 @@ class TestParticlesApp:
         d = app.metrics.as_dict()
         assert d["counters"]["frames"] == 2
         app.shutdown()
+
+
+class TestNumSimBlockRounding:
+    def test_rounds_up_to_block_size(self):
+        """Reference dispatches ceil(numSim/64) whole groups
+        (Compute.cpp:1041): numSim=100 simulates 128 particles."""
+        from multi_adapter_particles_tpu.models import integrator
+
+        dev = jax.devices()[0]
+        eng = ComputeEngine(SimConfig(num_particles=N), dev, seed=0)
+        before = np.asarray(eng.positions)
+        eng.simulate(num_sim=100)
+        eng.wait_for_gpu()
+        after = np.asarray(eng.positions)
+        assert not np.array_equal(before[:, :128], after[:, :128])
+        np.testing.assert_array_equal(before[:, 128:N], after[:, 128:N])

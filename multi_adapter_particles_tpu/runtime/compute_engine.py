@@ -51,6 +51,7 @@ class ComputeEngine:
         seed: int = 0,
         use_pallas: Optional[bool] = None,
         donate: bool = True,
+        extension=None,
     ):
         self.config = sim_config
         self.device = device
@@ -59,6 +60,10 @@ class ComputeEngine:
             use_pallas = device.platform == "tpu"
         self.use_pallas = use_pallas
         self._step = self._build_step(donate=donate)
+        # Perf-extension layer (ExtensionHelper analog): when active, the
+        # full-count step is recompiled with perf compiler options.
+        self.extension = extension
+        self._step_fast = None
         self.step_count = 0  # the shared fence value analog
 
         if prev is not None:
@@ -106,16 +111,28 @@ class ComputeEngine:
     # -- frame ops ---------------------------------------------------------------
     def simulate(self, num_sim: Optional[int] = None) -> ParticleState:
         """One async step. Returns the new state (also kept on self)."""
+        if num_sim is None and self.extension is not None:
+            if self._step_fast is None and self.extension.active:
+                self._step_fast = self.extension.compile(self._step, self.state)
+            if self._step_fast is not None and self.extension.enabled:
+                self.state = self._step_fast(self.state)
+                self.step_count += 1
+                self._count_interactions(self.config.num_particles)
+                return self.state
         self.state = self._step(self.state, num_sim)
         self.step_count += 1
-        n_sim = num_sim if num_sim is not None else self.config.num_particles
+        self._count_interactions(
+            num_sim if num_sim is not None else self.config.num_particles
+        )
+        return self.state
+
+    def _count_interactions(self, n_sim: int) -> None:
         if self.config.force_model == "all_pairs":
             self.metrics.count(
                 "interactions", float(n_sim) * self.state.padded_count
             )
         else:
             self.metrics.count("interactions", float(n_sim))
-        return self.state
 
     @property
     def positions(self) -> jax.Array:

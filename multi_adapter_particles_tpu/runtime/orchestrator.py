@@ -69,8 +69,10 @@ class ParticlesApp:
         # prev-value change detection (`Particles.cpp:162-166,458-463`)
         self._prev_compute_index = compute_ad.index
         self._prev_render_index = render_ad.index
+        self._prev_use_extension = self.app.use_queue_extension
 
         self.mesh_devices = mesh_devices
+        self.extension = None
         if mesh_devices > 1:
             from multi_adapter_particles_tpu.parallel import (
                 MeshComputeEngine,
@@ -91,8 +93,16 @@ class ParticlesApp:
                 self.sim_config, make_mesh(devices), self.metrics, seed=seed
             )
         else:
+            from multi_adapter_particles_tpu.utils.extension import (
+                ExtensionHelper,
+            )
+
+            self.extension = ExtensionHelper(
+                compute_ad.device, enabled=self.app.use_queue_extension
+            )
             self.compute = ComputeEngine(
-                self.sim_config, compute_ad.device, self.metrics, seed=seed
+                self.sim_config, compute_ad.device, self.metrics, seed=seed,
+                extension=self.extension,
             )
         self.render = RenderEngine(
             self.render_config, render_ad.device, self.metrics
@@ -208,6 +218,16 @@ class ParticlesApp:
         self.render_adapter = self.adapters[index]
 
     def _handle_reconfiguration(self) -> None:
+        # extension toggle only: flip the compile mode, no rebuild
+        # (`Particles.cpp:533-537` -> Compute.cpp:148-157 queue recreate)
+        if self.app.use_queue_extension != self._prev_use_extension:
+            self._prev_use_extension = self.app.use_queue_extension
+            ext = getattr(self.compute, "extension", None)
+            if ext is not None:
+                self.compute.wait_for_gpu()
+                ext.set_enabled(self.app.use_queue_extension)
+                self.compute._step_fast = None
+
         cchange = self.compute_adapter.index != self._prev_compute_index
         rchange = self.render_adapter.index != self._prev_render_index
         if not (cchange or rchange):

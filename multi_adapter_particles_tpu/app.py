@@ -69,6 +69,11 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_flag("interactive",
                "read keys: SPACE toggles draw, ESC/q quits, WASD/arrows fly",
                lambda: extra.__setitem__("interactive", True))
+    p.add_flag("debug", "validation layer: NaN checks, no donation, "
+               "hand-off asserts (D3D12 debug layer analog)",
+               lambda: extra.__setitem__("debug", True))
+    p.add_str("trace", "write a jax profiler trace to this directory",
+              lambda v: extra.__setitem__("trace", v))
     p.add_flag("listadapters", "print the adapter list and exit",
                lambda: extra.__setitem__("list_adapters", True))
     p.add_str("dashboard", "write a live HTML dashboard to this path",
@@ -132,6 +137,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         draw_enabled=extra.get("draw", True),
         profile_every=profile_every,
         mesh_devices=extra.get("mesh_devices", 0),
+        debug=extra.get("debug", False),
     )
 
     if "resume" in extra:
@@ -163,6 +169,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
 
     target_fps = 60.0 if app_cfg.vsync else None
+    import contextlib
+
+    ctx = contextlib.ExitStack()
+    if extra.get("debug"):
+        from multi_adapter_particles_tpu.utils.debug import debug_mode
+
+        ctx.enter_context(debug_mode())
+    if "trace" in extra:
+        import jax
+
+        jax.profiler.start_trace(extra["trace"])
+        ctx.callback(jax.profiler.stop_trace)
     try:
         if extra.get("interactive"):
             from multi_adapter_particles_tpu.runtime.input import TerminalInput
@@ -193,6 +211,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             particles.run(steps, frame_callback=overlay, target_fps=target_fps)
     except KeyboardInterrupt:
         pass
+    finally:
+        ctx.close()
     particles.shutdown()
 
     print(particles.metrics.render_text())

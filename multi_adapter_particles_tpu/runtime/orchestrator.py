@@ -43,10 +43,14 @@ class ParticlesApp:
         draw_enabled: bool = True,
         profile_every: int = 0,
         mesh_devices: int = 0,
+        debug: bool = False,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many
         devices (sharded sim + ring force exchange) — the multi-adapter
-        split scaled out; 0/1 = single-device compute engine."""
+        split scaled out; 0/1 = single-device compute engine.
+
+        `debug` enables the validation layer (D3D12 debug-layer analog):
+        donation off, per-frame finiteness + hand-off checks."""
         self.app = app_config or AppConfig()
         self.sim_config = sim_config or SimConfig(
             num_particles=self.app.num_particles
@@ -73,6 +77,7 @@ class ParticlesApp:
 
         self.mesh_devices = mesh_devices
         self.extension = None
+        self.debug = debug
         if mesh_devices > 1:
             from multi_adapter_particles_tpu.parallel import (
                 MeshComputeEngine,
@@ -103,6 +108,7 @@ class ParticlesApp:
             self.compute = ComputeEngine(
                 self.sim_config, compute_ad.device, self.metrics, seed=seed,
                 extension=self.extension,
+                donate=not debug,  # debug: no aliasing, hazards can't hide
             )
         self.render = RenderEngine(
             self.render_config, render_ad.device, self.metrics
@@ -206,6 +212,17 @@ class ParticlesApp:
         if self.draw_enabled and not profile:
             # present: the only host block per frame (Particles.cpp:452-456)
             self.render.present()
+
+        if self.debug:
+            from multi_adapter_particles_tpu.utils import debug as dbg
+
+            dbg.validate_handoff(self._display_positions)
+            self.compute.wait_for_gpu()
+            dbg.validate_state(
+                self.compute.state,
+                num_particles=self.sim_config.num_particles,
+                where=f"frame {self.frame_count}",
+            )
 
         self.frame_count += 1
         self._handle_reconfiguration()

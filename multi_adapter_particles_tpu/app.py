@@ -69,6 +69,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_flag("interactive",
                "read keys: SPACE toggles draw, ESC/q quits, WASD/arrows fly",
                lambda: extra.__setitem__("interactive", True))
+    p.add_flag("fused", "sim+render as one compiled program (async-compute "
+               "analog; single device only)",
+               lambda: extra.__setitem__("fused", True))
     p.add_flag("debug", "validation layer: NaN checks, no donation, "
                "hand-off asserts (D3D12 debug layer analog)",
                lambda: extra.__setitem__("debug", True))
@@ -138,6 +141,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         profile_every=profile_every,
         mesh_devices=extra.get("mesh_devices", 0),
         debug=extra.get("debug", False),
+        fused=extra.get("fused", False),
     )
 
     if "resume" in extra:

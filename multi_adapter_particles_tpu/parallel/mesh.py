@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "particles"
+OUTER_AXIS = "slices"  # the DCN dimension in multi-slice layouts
 
 
 def make_mesh(
@@ -29,13 +30,42 @@ def make_mesh(
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def make_multislice_mesh(
+    num_slices: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D (slices, particles) mesh: the outer axis crosses slice (DCN)
+    boundaries, the inner axis stays on ICI. The hierarchical ring in
+    `make_sharded_step` keeps the high-rate block rotation on the inner
+    axis and amortizes one slow outer rotation per full inner cycle."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if len(devices) % num_slices:
+        raise ValueError(
+            f"{len(devices)} devices not divisible into {num_slices} slices"
+        )
+    per = len(devices) // num_slices
+    arr = np.asarray(devices).reshape(num_slices, per)
+    return Mesh(arr, (OUTER_AXIS, AXIS))
+
+
 def mesh_devices(mesh: Mesh):
     return list(mesh.devices.ravel())
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:
-    """SoA planes [C, Np] sharded along the particle (lane) axis."""
+    """SoA planes [C, Np] sharded along the particle (lane) axis; on a
+    multi-slice mesh the particle dim shards over both axes (slice-major)."""
+    if OUTER_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(None, (OUTER_AXIS, AXIS)))
     return NamedSharding(mesh, P(None, AXIS))
+
+
+def particle_spec(mesh: Mesh) -> P:
+    if OUTER_AXIS in mesh.axis_names:
+        return P(None, (OUTER_AXIS, AXIS))
+    return P(None, AXIS)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

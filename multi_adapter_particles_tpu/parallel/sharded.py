@@ -32,7 +32,9 @@ from multi_adapter_particles_tpu.ops import allpairs
 from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 from multi_adapter_particles_tpu.parallel.mesh import (
     AXIS,
+    OUTER_AXIS,
     particle_sharding,
+    particle_spec,
 )
 
 
@@ -83,12 +85,37 @@ def make_sharded_step(
     need no mask exchange.
     """
     ndev = mesh.devices.size
+    multislice = OUTER_AXIS in mesh.axis_names
+    n_inner = mesh.shape[AXIS]
+    n_outer = mesh.shape[OUTER_AXIS] if multislice else 1
     if use_pallas is None:
         use_pallas = pallas_supported() and all(
             d.platform == "tpu" for d in mesh.devices.ravel()
         )
     partial_accel = _partial_accel_fn(cfg, use_pallas)
-    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    inner_perm = [(i, (i + 1) % n_inner) for i in range(n_inner)]
+    outer_perm = [(i, (i + 1) % n_outer) for i in range(n_outer)]
+
+    def ring_cycle(position, acc, block, final: bool):
+        """One full inner-ring cycle: consume n_inner blocks, rotating over
+        the ICI axis; the ppermute is issued BEFORE the force math so the
+        transfer overlaps compute (async collective). Unless `final`, one
+        last rotation returns every block to its starting slot so the next
+        outer (DCN) hop ships the right set."""
+        if n_inner > 1:
+            def body(carry, _):
+                acc, blk = carry
+                nxt = jax.lax.ppermute(blk, AXIS, inner_perm)
+                acc = acc + partial_accel(position, blk)
+                return (acc, nxt), None
+
+            (acc, block), _ = jax.lax.scan(
+                body, (acc, block), None, length=n_inner - 1
+            )
+        acc = acc + partial_accel(position, block)
+        if not final and n_inner > 1:
+            block = jax.lax.ppermute(block, AXIS, inner_perm)  # home again
+        return acc, block
 
     def local_step(position, velocity, num_sim: Optional[int]):
         # position [4, n_loc], velocity [3, n_loc] — per-device blocks.
@@ -98,23 +125,18 @@ def make_sharded_step(
                 position, cfg.mass, cfg.softening_squared
             )
         else:
-            # Ring: accumulate forces from each visiting block. Issue the
-            # ppermute *before* consuming the resident block so the ICI
-            # transfer overlaps the force math (async collective).
-            acc = partial_accel(position, position)
-            if ndev > 1:
-                def body(carry, _):
-                    acc, block = carry
-                    nxt = jax.lax.ppermute(block, AXIS, perm)
-                    acc = acc + partial_accel(position, block)
-                    return (acc, nxt), None
-
-                block0 = jax.lax.ppermute(position, AXIS, perm)
-                (acc, last), _ = jax.lax.scan(
-                    body, (acc, block0), None, length=ndev - 2
+            # Hierarchical ring (single-slice: plain ring): each outer
+            # stage rotates the working block set one slice over DCN, and
+            # that one slow hop amortizes over a full inner ICI cycle.
+            zero = position[:3] * jnp.zeros((), position.dtype)
+            acc, block = ring_cycle(
+                position, zero, position, final=(n_outer == 1)
+            )
+            for s in range(n_outer - 1):
+                block = jax.lax.ppermute(block, OUTER_AXIS, outer_perm)
+                acc, block = ring_cycle(
+                    position, acc, block, final=(s == n_outer - 2)
                 )
-                if ndev >= 2:
-                    acc = acc + partial_accel(position, last)
             accel = acc
         new_pos, new_vel = integrator.euler_update(
             position, velocity, accel, cfg.dt, cfg.damping
@@ -127,18 +149,22 @@ def make_sharded_step(
 
             eff = -(-int(num_sim) // C.BLOCK_SIZE) * C.BLOCK_SIZE
             n_loc = position.shape[1]
-            gidx = jax.lax.axis_index(AXIS) * n_loc + jnp.arange(n_loc)
+            shard = jax.lax.axis_index(AXIS)
+            if multislice:
+                shard = jax.lax.axis_index(OUTER_AXIS) * n_inner + shard
+            gidx = shard * n_loc + jnp.arange(n_loc)
             live = (gidx < eff)[None, :]
             new_pos = jnp.where(live, new_pos, old_position)
             new_vel = jnp.where(live, new_vel, old_velocity)
         return new_pos, new_vel
 
     def make(num_sim: Optional[int]):
+        spec = particle_spec(mesh)
         return jax.shard_map(
             functools.partial(local_step, num_sim=num_sim),
             mesh=mesh,
-            in_specs=(P(None, AXIS), P(None, AXIS)),
-            out_specs=(P(None, AXIS), P(None, AXIS)),
+            in_specs=(spec, spec),
+            out_specs=(spec, spec),
         )
 
     def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:

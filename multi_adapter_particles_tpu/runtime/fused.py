@@ -1,0 +1,183 @@
+"""Fused single-program frame: sim step + splat render in ONE jit.
+
+The reference's single-adapter async-compute mode shares one device between
+the compute and direct queues with zero copies, interleaved by fences
+(`Compute::SetAsync`, `Compute.cpp:956-987`; `Render.cpp:844-852`). The
+TPU-idiomatic version goes further: the whole frame — render state N
+(stale-by-one, the reference's contract) then integrate to N+1 — is one
+compiled XLA program with the state donated, so there are no per-stage
+dispatch gaps, no host round-trips, and XLA schedules/fuses across the
+stage boundary.
+
+`FusedEngine` satisfies both engine interfaces (compute: positions/fence/
+simulate bookkeeping; render: camera/last_frame/present), so the
+orchestrator can slot it into both roles. Per-stage timers are unavailable
+by construction (one program) — the frame EMA is the metric, exactly like
+vsynced present timing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
+from multi_adapter_particles_tpu.models import init as pinit
+from multi_adapter_particles_tpu.models import integrator
+from multi_adapter_particles_tpu.models.state import ParticleState
+from multi_adapter_particles_tpu.ops import allpairs, central_well
+from multi_adapter_particles_tpu.render import renderer as rmod
+from multi_adapter_particles_tpu.render.camera import Camera
+from multi_adapter_particles_tpu.utils.metrics import MetricsRegistry
+from multi_adapter_particles_tpu.utils.timers import sync
+
+
+class FusedEngine:
+    def __init__(
+        self,
+        sim_config: SimConfig,
+        render_config: RenderConfig,
+        device: jax.Device,
+        metrics: Optional[MetricsRegistry] = None,
+        seed: int = 0,
+        use_pallas: Optional[bool] = None,
+        donate: bool = True,
+        prev=None,
+    ):
+        self.config = sim_config
+        self.render_config = render_config
+        self.device = device
+        self.metrics = metrics or MetricsRegistry()
+        self.camera = Camera(position=render_config.camera_position)
+        self.renderer = rmod.Renderer(render_config)  # param source + utils
+        if use_pallas is None:
+            use_pallas = device.platform == "tpu"
+        self.use_pallas = use_pallas
+        self.step_count = 0
+        self.frame_count = 0
+        self._frame = None
+
+        cfg = sim_config
+        if cfg.force_model == "central_well" and use_pallas:
+            def step_core(state, num_sim):
+                pos, vel = central_well.central_well_step_pallas(
+                    state.position, state.velocity,
+                    dt=cfg.dt, damping=cfg.damping, mass=cfg.mass,
+                    softening_squared=cfg.softening_squared,
+                )
+                if num_sim is not None:
+                    return integrator._apply_num_sim_mask(
+                        pos, vel, state, num_sim
+                    )
+                return ParticleState(pos, vel)
+        else:
+            accel_fn = None
+            if cfg.force_model == "all_pairs" and use_pallas:
+                accel_fn = allpairs.make_accel_fn(
+                    mass=cfg.mass,
+                    softening_squared=cfg.softening_squared,
+                    interaction_scale=cfg.interaction_scale,
+                )
+            inner = integrator.make_step(cfg, accel_fn=accel_fn, donate=False)
+            # unwrap: we re-jit the fused whole; calling the jitted inner
+            # inside jit simply inlines it
+            step_core = inner
+
+        rcfg = render_config
+
+        def fused(state, wvp, p00, p11, radius, intensity, num_draw, num_sim):
+            # draw frame N (pre-step positions: the stale-by-one contract)...
+            out = rmod._render(
+                state.position, wvp, p00, p11, radius, intensity, num_draw,
+                width=rcfg.width, height=rcfg.height,
+                seg_q=self.renderer.seg_q,
+                dup_y=self.renderer.dup_y, dup_x=self.renderer.dup_x,
+                near=rcfg.near, blend=self.renderer.blend,
+            )
+            # ...while/then integrating to N+1, all inside one program
+            new_state = step_core(state, num_sim)
+            return new_state, out
+
+        self._fused = jax.jit(
+            fused,
+            static_argnums=(7,),
+            donate_argnums=(0,) if donate else (),
+        )
+
+        if prev is not None:
+            prev.wait_for_gpu()
+            self.state = jax.device_put(prev.state, device)
+            self.step_count = prev.get_fence_value()
+        else:
+            with jax.default_device(device):
+                self.state = pinit.initialize_particles_device(
+                    sim_config.num_particles, seed=seed
+                )
+
+    # -- the frame -----------------------------------------------------------
+    def frame(
+        self,
+        app: AppConfig,
+        num_sim: Optional[int] = None,
+        num_draw: Optional[int] = None,
+    ):
+        cfg = self.render_config
+        proj = self.camera.projection_matrix(
+            cfg.aspect, cfg.fov_y, cfg.near, cfg.far
+        )
+        wvp = self.camera.world_view_projection(
+            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
+        )
+        n = self.state.padded_count
+        self.state, self._frame = self._fused(
+            self.state,
+            jnp.asarray(wvp),
+            jnp.float32(abs(proj[0, 0])),
+            jnp.float32(abs(proj[1, 1])),
+            jnp.float32(app.particle_size),
+            jnp.float32(app.particle_intensity),
+            jnp.int32(n if num_draw is None else num_draw),
+            num_sim,
+        )
+        self.step_count += 1
+        self.frame_count += 1
+        return self._frame
+
+    # -- compute-engine interface ------------------------------------------------
+    @property
+    def positions(self) -> jax.Array:
+        return self.state.position
+
+    def get_fence_value(self) -> int:
+        return self.step_count
+
+    def wait_for_gpu(self) -> None:
+        sync(self.state)
+        if self._frame is not None and not self._frame.frame.is_deleted():
+            sync(self._frame.frame)
+
+    def snapshot(self):
+        self.wait_for_gpu()
+        return jax.device_get(self.state)
+
+    def restore(self, host_state) -> None:
+        self.state = jax.device_put(
+            ParticleState(
+                jnp.asarray(host_state.position),
+                jnp.asarray(host_state.velocity),
+            ),
+            self.device,
+        )
+
+    # -- render-engine interface ----------------------------------------------
+    @property
+    def last_frame(self):
+        return None if self._frame is None else self._frame.frame
+
+    def present(self):
+        if self._frame is not None:
+            sync(self._frame.frame)
+        return self._frame

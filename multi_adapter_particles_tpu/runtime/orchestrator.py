@@ -44,6 +44,7 @@ class ParticlesApp:
         profile_every: int = 0,
         mesh_devices: int = 0,
         debug: bool = False,
+        fused: bool = False,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many
         devices (sharded sim + ring force exchange) — the multi-adapter
@@ -78,6 +79,29 @@ class ParticlesApp:
         self.mesh_devices = mesh_devices
         self.extension = None
         self.debug = debug
+        self.fused_engine = None
+        if fused:
+            if mesh_devices > 1 or compute_ad.device != render_ad.device:
+                raise ValueError(
+                    "fused mode needs a single shared device (the "
+                    "async-compute analog)"
+                )
+            from multi_adapter_particles_tpu.runtime.fused import FusedEngine
+
+            self.fused_engine = FusedEngine(
+                self.sim_config, self.render_config, compute_ad.device,
+                self.metrics, seed=seed, donate=not debug,
+            )
+            # one object serves both roles (zero copies, one program)
+            self.compute = self.fused_engine
+            self.render = self.fused_engine
+            self.share_handles()
+            self.frame_count = 0
+            self.metrics.gauge(
+                "mode_banner",
+                "Single Adapter with Async Compute (fused single-program)",
+            )
+            return
         if mesh_devices > 1:
             from multi_adapter_particles_tpu.parallel import (
                 MeshComputeEngine,
@@ -174,6 +198,24 @@ class ParticlesApp:
         """One frame: draw N, simulate N+1, present (`Particles.cpp:432-456`)."""
         self.metrics.frame_tick()
         num_sim, num_copy, num_draw = self.app.resolved_counts()
+
+        if self.fused_engine is not None:
+            eng = self.fused_engine
+            eng.frame(
+                self.app,
+                num_sim=(
+                    num_sim
+                    if num_sim < self.sim_config.num_particles else None
+                ),
+                # SPACE toggle in fused mode: draw 0 sprites (the program
+                # shape is fixed; XLA DCEs most of the render work)
+                num_draw=num_draw if self.draw_enabled else 0,
+            )
+            if self.draw_enabled:
+                eng.present()  # the single host block per frame
+            self._display_positions = eng.positions
+            self.frame_count += 1
+            return
         profile = (
             self.profile_every > 0
             and self.frame_count % self.profile_every == 0

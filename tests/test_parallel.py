@@ -219,3 +219,67 @@ class TestMeshInOrchestrator:
             rtol=1e-5, atol=1e-3,
         )
         app.shutdown()
+
+
+class TestMultiSlice:
+    """2-D (slices, particles) mesh — the DCN analog, hierarchical ring."""
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (2, 2)])
+    def test_hierarchical_ring_matches_single_device(self, eight_devices, shape):
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        ns, nc = shape
+        mesh = make_multislice_mesh(ns, eight_devices[: ns * nc])
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        ref = _ref_step(cfg)(pinit.initialize_particles_device(N, seed=3))
+
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=3), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-4, atol=1e-3,
+        )
+
+    def test_central_well_multislice(self, eight_devices):
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        mesh = make_multislice_mesh(2, eight_devices)
+        cfg = SimConfig(num_particles=N)
+        ref = _ref_step(cfg)(pinit.initialize_particles_device(N, seed=1))
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=1), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-6, atol=1e-4,
+        )
+
+    def test_num_sim_on_multislice(self, eight_devices):
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        mesh = make_multislice_mesh(2, eight_devices)
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        sstate = shard_state(pinit.initialize_particles_device(N, seed=2), mesh)
+        before = np.asarray(sstate.position)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate, 256)
+        after = np.asarray(out.position)
+        assert not np.array_equal(before[:, :256], after[:, :256])
+        np.testing.assert_array_equal(before[:, 256:], after[:, 256:])
+
+    def test_mesh_engine_on_multislice(self, eight_devices):
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        mesh = make_multislice_mesh(2, eight_devices)
+        eng = MeshComputeEngine(
+            SimConfig(num_particles=N, force_model="all_pairs"), mesh, seed=0
+        )
+        eng.simulate()
+        eng.wait_for_gpu()
+        assert np.isfinite(np.asarray(eng.positions)).all()

@@ -253,3 +253,54 @@ class TestNumSimBlockRounding:
         after = np.asarray(eng.positions)
         assert not np.array_equal(before[:, :128], after[:, :128])
         np.testing.assert_array_equal(before[:, 128:N], after[:, 128:N])
+
+
+class TestFusedMode:
+    def test_fused_matches_split_pipeline(self):
+        """Fused one-program frame == split engines: same trajectory, same
+        stale-by-one frame contract."""
+        cfg_app = AppConfig(num_particles=N, particle_size=10.0)
+        cfg_sim = SimConfig(num_particles=N)
+        split = ParticlesApp(cfg_app, cfg_sim, SMALL_RENDER, seed=0)
+        fused = ParticlesApp(cfg_app, cfg_sim, SMALL_RENDER, seed=0, fused=True)
+        for _ in range(3):
+            split.draw()
+            fused.draw()
+        split.compute.wait_for_gpu()
+        fused.compute.wait_for_gpu()
+        np.testing.assert_allclose(
+            np.asarray(split.compute.positions),
+            np.asarray(fused.compute.positions),
+            rtol=1e-5, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split.render.last_frame),
+            np.asarray(fused.render.last_frame),
+            rtol=1e-4, atol=1e-4,
+        )
+        split.shutdown()
+        fused.shutdown()
+
+    def test_fused_draw_toggle(self):
+        app = small_app()
+        fused = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N), SMALL_RENDER, fused=True,
+        )
+        fused.draw_enabled = False
+        fused.draw()  # still advances the sim
+        assert fused.compute.get_fence_value() == 1
+        fused.draw_enabled = True
+        fused.draw()
+        assert np.asarray(fused.render.last_frame).max() > 0
+        fused.shutdown()
+
+    def test_fused_rejects_split_devices(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        with pytest.raises(ValueError, match="fused"):
+            ParticlesApp(
+                AppConfig(num_particles=N),
+                SimConfig(num_particles=N), SMALL_RENDER,
+                compute_adapter=0, render_adapter=1, fused=True,
+            )

@@ -45,6 +45,12 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_int("numdraw", "# particles drawn per frame", unlink_and_set("num_draw"))
 
     # TPU-native extensions
+    def preset(name):
+        from multi_adapter_particles_tpu.presets import apply_preset
+
+        apply_preset(name, app, extra)
+
+    p.add_str("preset", "named benchmark config (see presets.py)", preset)
     p.add_int("steps", "number of frames to run (0 = forever)",
               lambda v: extra.__setitem__("steps", v))
     p.add_int("seed", "init RNG seed", lambda v: extra.__setitem__("seed", v))
@@ -197,6 +203,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                         break
                     if inp.toggle_draw:
                         particles.draw_enabled = not particles.draw_enabled
+                    # live reconfiguration keys (the GUI list-box analog):
+                    # c/r cycle the compute/render adapter
+                    nad = len(particles.adapters)
+                    for key in inp.pressed:
+                        if key == "c" and nad > 1:
+                            particles.set_compute_adapter(
+                                (particles.compute_adapter.index + 1) % nad
+                            )
+                        elif key == "r" and nad > 1:
+                            particles.set_render_adapter(
+                                (particles.render_adapter.index + 1) % nad
+                            )
                     for key in inp.pressed:
                         particles.render.camera.key_down(key)
                     particles.draw()

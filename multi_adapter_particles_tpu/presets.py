@@ -1,0 +1,49 @@
+"""Named benchmark presets — the BASELINE.json staged configs.
+
+Each preset is a dict of (AppConfig fields, extra CLI keys) applied by
+`-preset NAME`; later flags override. See BASELINE.json "configs".
+"""
+
+from __future__ import annotations
+
+PRESETS = {
+    # 10k particles, softened all-pairs gravity + Euler, headless, 1 device
+    "10k-allpairs": {
+        "app": {"num_particles": 10_240, "gui": False, "vsync": False},
+        "extra": {"force": "all_pairs", "draw": False, "steps": 200},
+    },
+    # 100k single-chip: blocked Pallas force kernel, ping-pong state
+    "100k-pallas": {
+        "app": {"num_particles": 102_400, "gui": False, "vsync": False},
+        "extra": {"force": "all_pairs", "draw": False, "steps": 100},
+    },
+    # 256k with 720p splat render every step, per-phase timing
+    "256k-720p": {
+        "app": {"num_particles": 262_144, "vsync": False},
+        "extra": {
+            "width": 1280, "height": 720, "steps": 120, "profile_every": 10,
+        },
+    },
+    # 1M sharded across 8 devices: ring all-gather over ICI
+    "1m-mesh8": {
+        "app": {"num_particles": 1_048_576, "gui": False, "vsync": False},
+        "extra": {"force": "all_pairs", "mesh_devices": 8, "steps": 20},
+    },
+    # 4M with fused async sim/render overlap (single chip)
+    "4m-fused": {
+        "app": {"num_particles": 4_194_304, "vsync": False},
+        "extra": {"fused": True, "steps": 60},
+    },
+}
+
+
+def apply_preset(name: str, app_cfg, extra: dict) -> None:
+    try:
+        p = PRESETS[name]
+    except KeyError:
+        raise SystemExit(
+            f"unknown preset {name!r}; available: {', '.join(sorted(PRESETS))}"
+        )
+    for k, v in p["app"].items():
+        setattr(app_cfg, k, v)
+    extra.update(p["extra"])

@@ -102,7 +102,7 @@ class TerminalInput:
                 self.state.toggle_draw = True
             elif ch in ("q", "\x03"):  # q / ctrl-c
                 self.state.quit = True
-            elif ch.lower() in "wasd":
+            elif ch.lower() in "wasdcr":  # fly keys + adapter-cycle keys
                 self.state.pressed.append(ch.lower())
             i += 1
         return self.state

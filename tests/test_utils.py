@@ -140,3 +140,31 @@ class TestArgParser:
         p = ArgParser("t")
         p.add_flag("x", "", lambda: None)
         assert p.parse(["-y"]) == ["-y"]
+
+
+class TestPresets:
+    def test_apply_known_preset(self):
+        from multi_adapter_particles_tpu.config import AppConfig
+        from multi_adapter_particles_tpu.presets import PRESETS, apply_preset
+
+        app, extra = AppConfig(), {}
+        apply_preset("1m-mesh8", app, extra)
+        assert app.num_particles == 1_048_576
+        assert extra["mesh_devices"] == 8
+        assert extra["force"] == "all_pairs"
+
+    def test_unknown_preset_exits(self):
+        from multi_adapter_particles_tpu.config import AppConfig
+        from multi_adapter_particles_tpu.presets import apply_preset
+
+        with pytest.raises(SystemExit, match="unknown preset"):
+            apply_preset("nope", AppConfig(), {})
+
+    def test_all_presets_well_formed(self):
+        from multi_adapter_particles_tpu.config import AppConfig
+        from multi_adapter_particles_tpu.presets import PRESETS, apply_preset
+
+        for name in PRESETS:
+            app, extra = AppConfig(), {}
+            apply_preset(name, app, extra)
+            assert app.num_particles > 0

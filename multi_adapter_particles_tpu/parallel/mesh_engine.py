@@ -45,6 +45,11 @@ class MeshComputeEngine:
         self.step_count = 0
 
         if prev is not None:
+            # NOTE: like the reference (the old Compute is destroyed right
+            # after CopyState, Particles.cpp:512-522), `prev` must not be
+            # stepped or read after migration: if the new sharding is
+            # layout-identical, device_put aliases the buffers zero-copy
+            # and this engine's donating step will retire them.
             prev.wait_for_gpu()
             self.state = shmod.shard_state(prev.state, mesh)
             self.step_count = prev.get_fence_value()

@@ -93,4 +93,6 @@ class MetricsRegistry:
         lines.append(f"frameTime ms: {self.frame_ms:8.3f}  ({self.fps:6.1f} fps)")
         for name in sorted(self.counters):
             lines.append(f"{name}: {self.counters[name]:,.0f}")
+        if "interactions" in self.counters:
+            lines.append(f"interactions/s: {self.rate('interactions'):,.3e}")
         return "\n".join(lines)

@@ -1,0 +1,125 @@
+"""Pallas TPU kernel for the segmented sprite composite.
+
+The renderer's composite scan in XLA round-trips the whole virtual
+framebuffer (4 x [V, px] carry planes) through HBM on every one of Q scan
+steps. This kernel holds a block of rows in VMEM for the entire Q loop, so
+HBM traffic drops to: read params once + write the result once.
+
+Layout: pixel index on sublanes, virtual rows on lanes —
+- carry planes [px, VB] (px = TILE_H*TILE_W = 128 = one f32 sublane tile),
+- sprite params sp [8, Q, V]: a q-step's row [1, VB] broadcasts naturally
+  against [px, VB] planes. Q is consumed in sublane-aligned groups of 8
+  (dynamic second-minor slices must be 8-aligned on this toolchain).
+
+Channels: 0 cx, 1 cy, 2 1/(2hx), 3 1/(2hy), 4 r, 5 g, 6 b, 7 alpha-scale
+(zero for dead slots — blending a no-op). Output [4, px, V]: premultiplied
+r, g, b and transmittance, ready for the log-depth segment combine.
+
+Semantics identical to the XLA scan in render/renderer.py (associative
+over-composition with per-sprite source clamp); tests pin equivalence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
+
+
+def _kernel(sp_ref, base_ref, out_ref, *, q_len, tile_h, tile_w, blend):
+    vb = out_ref.shape[2]
+    px = tile_h * tile_w
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (px, vb), 0)
+    x_in = (pix % tile_w).astype(jnp.float32)
+    y_in = (pix // tile_w).astype(jnp.float32)
+    pxc = base_ref[0:1, :] + x_in + 0.5     # [px, VB]
+    pyc = base_ref[1:2, :] + y_in + 0.5
+
+    def blend_group(qg, carry):
+        cr, cg, cb, tt = carry
+        g = [sp_ref[c, pl.ds(qg * 8, 8), :] for c in range(8)]  # [8, VB] x8
+        for r in range(8):
+            scx = g[0][r : r + 1, :]
+            scy = g[1][r : r + 1, :]
+            ihx = g[2][r : r + 1, :]
+            ihy = g[3][r : r + 1, :]
+            sr = g[4][r : r + 1, :]
+            sg = g[5][r : r + 1, :]
+            sb = g[6][r : r + 1, :]
+            sa = g[7][r : r + 1, :]
+            du = (pxc - scx) * ihx
+            dv = (pyc - scy) * ihy
+            dist = jnp.sqrt(du * du + dv * dv)
+            alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa      # [px, VB]
+            if blend == "over":
+                keep = 1.0 - alpha
+                cr = cr * keep + jnp.clip(sr * alpha, 0.0, 1.0)
+                cg = cg * keep + jnp.clip(sg * alpha, 0.0, 1.0)
+                cb = cb * keep + jnp.clip(sb * alpha, 0.0, 1.0)
+                tt = tt * keep
+            else:  # additive
+                cr = cr + jnp.clip(sr * alpha, 0.0, 1.0)
+                cg = cg + jnp.clip(sg * alpha, 0.0, 1.0)
+                cb = cb + jnp.clip(sb * alpha, 0.0, 1.0)
+        return cr, cg, cb, tt
+
+    zero = jnp.zeros((px, vb), jnp.float32)
+    one = jnp.ones((px, vb), jnp.float32)
+    cr, cg, cb, tt = jax.lax.fori_loop(
+        0, q_len // 8, blend_group, (zero, zero, zero, one)
+    )
+    out_ref[0, :, :] = cr
+    out_ref[1, :, :] = cg
+    out_ref[2, :, :] = cb
+    out_ref[3, :, :] = tt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "blend", "vb")
+)
+def composite_rows_pallas(
+    sp: jax.Array,      # [8, Q, V] sprite params (Q multiple of 8)
+    bases: jax.Array,   # [2, V] float32 tile base pixel coords (x, y)
+    tile_h: int,
+    tile_w: int,
+    blend: str = "over",
+    vb: int = 512,
+) -> jax.Array:
+    """-> [4, px, V]: premultiplied rgb + transmittance per virtual row."""
+    _, q_len, v = sp.shape
+    if q_len % 8:
+        raise ValueError("Q must be a multiple of 8")
+    while v % vb:
+        vb //= 2
+    px = tile_h * tile_w
+
+    kernel = functools.partial(
+        _kernel, q_len=q_len, tile_h=tile_h, tile_w=tile_w, blend=blend
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(v // vb,),
+        in_specs=[
+            pl.BlockSpec((8, q_len, vb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, vb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, px, vb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, px, v), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(v) * int(q_len) * px * 14,
+            bytes_accessed=int(v) * (q_len * 32 + px * 16 + 8),
+            transcendentals=int(v) * int(q_len) * px,
+        ),
+        interpret=interpret_flag(),
+    )(sp, bases)

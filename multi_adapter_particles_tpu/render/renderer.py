@@ -91,6 +91,7 @@ def _colors(position, num_particles):
     jax.jit,
     static_argnames=(
         "width", "height", "seg_q", "dup_y", "dup_x", "near", "blend",
+        "use_pallas_composite",
     ),
 )
 def _render(
@@ -109,6 +110,7 @@ def _render(
     dup_x: int,
     near: float,
     blend: str,            # 'over' (exact) | 'additive' (order-free)
+    use_pallas_composite: bool = False,
 ) -> FrameOutput:
     n = position.shape[1]
     gh, gw = height // TILE_H, width // TILE_W
@@ -222,39 +224,61 @@ def _render(
         [cx, cy, inv2hx, inv2hy, cr, cg, cb, jnp.zeros_like(cx)], axis=1
     )                                   # [Np, 8]
     gathered = params[pid]              # [V, Q, 8]
-    gathered = gathered.transpose(1, 0, 2)  # [Q, V, 8]
-    xs = tuple(gathered[:, :, c] for c in range(7)) + (
-        jnp.where(valid_k, intensity, 0.0).T,  # dead slots blend nothing
-    )
-    pxc_v = pxc[tile_vc]
-    pyc_v = pyc[tile_vc]
+    sa = jnp.where(valid_k, intensity, 0.0)  # [V, Q]; dead slots blend 0
 
-    def step(carry, sprite):
-        # per-channel [V, px] planes: no [V, 3, px] sublane padding waste,
-        # no per-step stack/relayout
-        crb, cgb, cbb, tbuf = carry
-        scx, scy, sihx, sihy, sr, sg, sb, sa = sprite  # each [V]
-        du = (pxc_v - scx[:, None]) * sihx[:, None]    # (px-cx)/(2hx)
-        dv = (pyc_v - scy[:, None]) * sihy[:, None]
-        dist = jnp.sqrt(du * du + dv * dv)
-        alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa[:, None]       # [V, px]
-        if blend == "over":
-            keep = 1.0 - alpha
-            crb = crb * keep + jnp.clip(sr[:, None] * alpha, 0.0, 1.0)
-            cgb = cgb * keep + jnp.clip(sg[:, None] * alpha, 0.0, 1.0)
-            cbb = cbb * keep + jnp.clip(sb[:, None] * alpha, 0.0, 1.0)
-            tbuf = tbuf * keep
-        else:  # additive
-            crb = crb + jnp.clip(sr[:, None] * alpha, 0.0, 1.0)
-            cgb = cgb + jnp.clip(sg[:, None] * alpha, 0.0, 1.0)
-            cbb = cbb + jnp.clip(sb[:, None] * alpha, 0.0, 1.0)
-        return (crb, cgb, cbb, tbuf), None
+    if use_pallas_composite:
+        # VMEM-resident composite kernel: params in, (rgb, T) rows out —
+        # no per-step HBM round trip of the carry planes.
+        from multi_adapter_particles_tpu.ops.composite import (
+            composite_rows_pallas,
+        )
 
-    zero = jnp.zeros((num_rows, px_count), jnp.float32)
-    one = jnp.ones((num_rows, px_count), jnp.float32)
-    (cr_v, cg_v, cb_v, tv), _ = jax.lax.scan(
-        step, (zero, zero, zero, one), xs
-    )
+        sp = jnp.concatenate(
+            [gathered.transpose(2, 1, 0)[:7], sa.T[None]], axis=0
+        )                               # [8, Q, V]
+        bases = jnp.stack(
+            [
+                (base_x[tile_vc]).astype(jnp.float32),
+                (base_y[tile_vc]).astype(jnp.float32),
+            ]
+        )                               # [2, V]
+        out4 = composite_rows_pallas(sp, bases, TILE_H, TILE_W, blend=blend)
+        cr_v = out4[0].T
+        cg_v = out4[1].T
+        cb_v = out4[2].T
+        tv = out4[3].T
+    else:
+        gathered_t = gathered.transpose(1, 0, 2)  # [Q, V, 8]
+        xs = tuple(gathered_t[:, :, c] for c in range(7)) + (sa.T,)
+        pxc_v = pxc[tile_vc]
+        pyc_v = pyc[tile_vc]
+
+        def step(carry, sprite):
+            # per-channel [V, px] planes: no [V, 3, px] sublane padding
+            # waste, no per-step stack/relayout
+            crb, cgb, cbb, tbuf = carry
+            scx, scy, sihx, sihy, sr, sg, sb, ssa = sprite  # each [V]
+            du = (pxc_v - scx[:, None]) * sihx[:, None]     # (px-cx)/(2hx)
+            dv = (pyc_v - scy[:, None]) * sihy[:, None]
+            dist = jnp.sqrt(du * du + dv * dv)
+            alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * ssa[:, None]  # [V, px]
+            if blend == "over":
+                keep = 1.0 - alpha
+                crb = crb * keep + jnp.clip(sr[:, None] * alpha, 0.0, 1.0)
+                cgb = cgb * keep + jnp.clip(sg[:, None] * alpha, 0.0, 1.0)
+                cbb = cbb * keep + jnp.clip(sb[:, None] * alpha, 0.0, 1.0)
+                tbuf = tbuf * keep
+            else:  # additive
+                crb = crb + jnp.clip(sr[:, None] * alpha, 0.0, 1.0)
+                cgb = cgb + jnp.clip(sg[:, None] * alpha, 0.0, 1.0)
+                cbb = cbb + jnp.clip(sb[:, None] * alpha, 0.0, 1.0)
+            return (crb, cgb, cbb, tbuf), None
+
+        zero = jnp.zeros((num_rows, px_count), jnp.float32)
+        one = jnp.ones((num_rows, px_count), jnp.float32)
+        (cr_v, cg_v, cb_v, tv), _ = jax.lax.scan(
+            step, (zero, zero, zero, one), xs
+        )
 
     # tree-combine segment rows (consecutive rows share a tile)
     segs_v = segs[tile_vc]
@@ -320,6 +344,11 @@ class Renderer:
         self.dup_y = dup_y
         self.dup_x = dup_x
         self.blend = blend
+        # VMEM-resident composite kernel on TPU; XLA scan elsewhere (the
+        # Pallas interpreter is too slow for per-frame use on CPU)
+        from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
+
+        self.use_pallas_composite = pallas_supported()
         self.last_overflow = 0
         self.last_truncated = 0
 
@@ -354,6 +383,8 @@ class Renderer:
             dup_x=self.dup_x,
             near=cfg.near,
             blend=self.blend,
+            use_pallas_composite=self.use_pallas_composite
+            and (seg_q or self.seg_q) % 8 == 0,
         )
 
     def render(self, position, camera, particle_size, particle_intensity,

@@ -214,3 +214,35 @@ class TestSegQInvariance:
             frames.append(np.asarray(out.frame))
         np.testing.assert_allclose(frames[0], frames[1], rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(frames[0], frames[2], rtol=1e-5, atol=1e-6)
+
+
+class TestPallasComposite:
+    def test_kernel_matches_xla_scan(self):
+        """composite_rows_pallas (interpret mode on CPU) == the XLA scan
+        path, on a tiny scene."""
+        import jax.numpy as jnp
+
+        from multi_adapter_particles_tpu.render.renderer import Renderer, _render
+
+        n = 64
+        rng = np.random.default_rng(3)
+        pos = np.zeros((4, 128), np.float32)
+        pos[:3, :n] = rng.uniform(-50, 50, size=(3, n)).astype(np.float32)
+        pos[0, n:] = 1e9
+        cfg = RenderConfig(width=64, height=16)
+        camera = cam.Camera()
+        proj = camera.projection_matrix(cfg.aspect)
+        wvp = jnp.asarray(camera.world_view_projection(cfg.aspect))
+        args = (
+            jnp.asarray(pos), wvp,
+            jnp.float32(abs(proj[0, 0])), jnp.float32(abs(proj[1, 1])),
+            jnp.float32(100.0), jnp.float32(0.4), jnp.int32(128),
+        )
+        kw = dict(width=cfg.width, height=cfg.height, seg_q=8,
+                  dup_y=2, dup_x=2, near=cfg.near, blend="over")
+        a = _render(*args, use_pallas_composite=False, **kw)
+        b = _render(*args, use_pallas_composite=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a.frame), np.asarray(b.frame), rtol=1e-5, atol=1e-6
+        )
+        assert np.asarray(a.frame).max() > 0

@@ -211,7 +211,7 @@ class ParticlesApp:
                 # shape is fixed; XLA DCEs most of the render work)
                 num_draw=num_draw if self.draw_enabled else 0,
             )
-            if self.draw_enabled:
+            if self._should_present():
                 eng.present()  # the single host block per frame
             self._display_positions = eng.positions
             self.frame_count += 1
@@ -251,7 +251,7 @@ class ParticlesApp:
 
         self._display_positions = self.compute.positions
 
-        if self.draw_enabled and not profile:
+        if self.draw_enabled and not profile and self._should_present():
             # present: the only host block per frame (Particles.cpp:452-456)
             self.render.present()
 
@@ -268,6 +268,15 @@ class ParticlesApp:
 
         self.frame_count += 1
         self._handle_reconfiguration()
+
+    def _should_present(self) -> bool:
+        """vsync on: block every frame (the latency-waitable swapchain).
+        vsync off ("tearing allowed"): dispatch ahead, syncing only every
+        8th frame to bound the in-flight queue — the -novsync throughput
+        mode."""
+        if self.app.vsync or not self.draw_enabled:
+            return self.draw_enabled
+        return self.frame_count % 8 == 7
 
     # -- live reconfiguration (`Particles.cpp:458-537`) ---------------------------
     def set_compute_adapter(self, index: int) -> None:

@@ -1,0 +1,77 @@
+"""Performance smoke tests — the BASELINE.json interactions/sec oracle.
+
+These run ONLY on a real TPU backend (the CI suite forces CPU, where the
+numbers are meaningless); the driver's bench.py is the canonical record.
+Thresholds are deliberately loose (~half of measured) so regressions of
+2x+ fail while normal variance passes.
+
+Measured anchors on v5e (2026-08-16): all-pairs 0.185 Tpairs/s @1M;
+central-well ~1 ms/step @256K (dispatch-bound over the tunnel); exact
+1024x1024 render 67 ms @262K.
+"""
+
+import os
+import time
+
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("MAP_PERF_SMOKE") != "1",
+    reason="perf smoke runs on real TPU only (set MAP_PERF_SMOKE=1)",
+)
+
+
+def _sync(x):
+    import jax
+
+    float(jax.device_get(x.ravel()[0]))
+
+
+@requires_tpu
+def test_allpairs_interactions_per_second():
+    import jax
+
+    from multi_adapter_particles_tpu.config import SimConfig
+    from multi_adapter_particles_tpu.models import init as pinit, integrator
+    from multi_adapter_particles_tpu.ops import allpairs
+
+    assert jax.default_backend() == "tpu"
+    n = 131072
+    cfg = SimConfig(num_particles=n, force_model="all_pairs")
+    accel = allpairs.make_accel_fn(
+        mass=cfg.mass, softening_squared=cfg.softening_squared
+    )
+    step = integrator.make_step(cfg, accel_fn=accel)
+    state = pinit.initialize_particles_device(n, seed=0)
+    state = step(state)
+    _sync(state.position)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state = step(state)
+    _sync(state.position)
+    rate = 3 * n * n / (time.perf_counter() - t0)
+    assert rate > 0.08e12, f"{rate/1e12:.3f} Tpairs/s < 0.08 floor"
+
+
+@requires_tpu
+def test_render_frame_time():
+    import jax
+
+    from multi_adapter_particles_tpu.config import RenderConfig
+    from multi_adapter_particles_tpu.models import init as pinit
+    from multi_adapter_particles_tpu.render.camera import Camera
+    from multi_adapter_particles_tpu.render.renderer import Renderer
+
+    n = 262144
+    state = pinit.initialize_particles_device(n, seed=0)
+    _sync(state.position)
+    r = Renderer(RenderConfig())
+    cam = Camera()
+    out = r.render_arrays(state.position, cam, 2.5, 0.15)
+    _sync(out.frame)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = r.render_arrays(state.position, cam, 2.5, 0.15)
+    _sync(out.frame)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    assert ms < 200.0, f"render {ms:.1f} ms > 200 ms ceiling"

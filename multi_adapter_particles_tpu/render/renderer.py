@@ -162,9 +162,23 @@ def _render(
         initial=0,
     )
 
-    order = jnp.argsort(key, stable=True)
-    sorted_key = key[order]
-    sorted_pid = (order // dup).astype(jnp.int32)
+    # Multi-operand stable sort carries ALL sprite params as payloads — one
+    # sorting network instead of argsort + chains of random gathers
+    # (random access costs ~9-17 ns/element on TPU; measured, payload
+    # operands ride the comparator network for free: 9-op sort == 1-op).
+    inv2hx = 1.0 / (2.0 * hx)
+    inv2hy = 1.0 / (2.0 * hy)
+
+    def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
+        return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
+
+    (sorted_key, s_cx, s_cy, s_ihx, s_ihy, s_cr, s_cg, s_cb) = jax.lax.sort(
+        (
+            key, expand(cx), expand(cy), expand(inv2hx), expand(inv2hy),
+            expand(cr), expand(cg), expand(cb),
+        ),
+        dimension=0, num_keys=1, is_stable=True,
+    )
 
     starts = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
@@ -182,49 +196,57 @@ def _render(
     pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
     pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
-    inv2hx = 1.0 / (2.0 * hx)
-    inv2hy = 1.0 / (2.0 * hy)
-
     # ---- exact segmented composite -----------------------------------------
     # Over-composition with a per-sprite source clamp is ASSOCIATIVE on
     # (premultiplied color C, transmittance T): later ∘ earlier =
-    # (C_l + C_e * T_l, T_e * T_l). So each tile's entry list splits into
-    # segments of Q sprites; every segment is one "virtual row" of a single
-    # depth-Q scan (total work ∝ actual entries + T*Q, with NO per-tile
-    # depth cap — a 65K-sprite cluster-core tile just contributes 65K/Q
-    # rows), then consecutive rows of the same tile tree-combine in
-    # O(log(max_segments)) passes. Exact for any depth: no overflow, ever.
+    # (C_l + C_e * T_l, T_e * T_l). So the sorted entry stream splits into
+    # Q-ALIGNED data rows (a pure reshape of the co-sorted param arrays —
+    # no random gathers); each (data row, tile) pair that intersects is one
+    # "virtual row" of a single depth-Q scan, with a [lo, hi) valid mask
+    # selecting the tile's slice of the row. Boundary rows appear once per
+    # tile they straddle, so V <= T + E/Q as before. Total work ∝ actual
+    # entries + T*Q with NO per-tile depth cap — a 65K-sprite cluster-core
+    # tile just contributes 65K/Q rows — then consecutive virtual rows of a
+    # tile tree-combine in O(log(max_segments)) passes. Exact at any depth.
     px_count = TILE_H * TILE_W
     e_total = n * dup
     q = seg_q
-    max_segs = -(-e_total // q)            # one tile could hold everything
-    num_rows = num_tiles + e_total // q    # static bound: sum ceil(c/Q)
+    data_rows = -(-e_total // q)           # ceil: sorted stream, Q-aligned
+    e_pad = data_rows * q - e_total        # tail padding (beyond all ends)
+    max_segs = data_rows + 1               # one tile could span everything
+    num_rows = num_tiles + data_rows       # static bound on virtual rows
 
-    segs = jnp.maximum(-(-counts // q), 1)         # empty tile -> 1 empty row
-    row_end = jnp.cumsum(segs).astype(jnp.int32)   # [T]
+    ends = starts[1:]
+    j_lo = starts[:-1] // q                          # first data row of tile
+    j_hi = jnp.where(counts > 0, (ends - 1) // q, j_lo)  # last (inclusive)
+    segs = jnp.where(counts > 0, j_hi - j_lo + 1, 1)     # empty -> 1 dummy
+    row_end = jnp.cumsum(segs).astype(jnp.int32)     # [T]
     row_start = (row_end - segs).astype(jnp.int32)
     v = jnp.arange(num_rows, dtype=jnp.int32)
     tile_v = jnp.searchsorted(row_end, v, side="right").astype(jnp.int32)
     valid_v = v < row_end[-1]
     tile_vc = jnp.clip(tile_v, 0, num_tiles - 1)
     seg_v = v - row_start[tile_vc]
-    base_v = starts[:-1][tile_vc] + seg_v * q
-    rem_v = jnp.where(valid_v, counts[tile_vc] - seg_v * q, 0)
+    j_v = j_lo[tile_vc] + seg_v                      # data row index [V]
+    lo_k = jnp.clip(starts[:-1][tile_vc] - j_v * q, 0, q)
+    hi_k = jnp.clip(ends[tile_vc] - j_v * q, 0, q)
+    hi_k = jnp.where(valid_v & (counts[tile_vc] > 0), hi_k, 0)
 
     kk = jnp.arange(q, dtype=jnp.int32)
-    valid_k = kk[None, :] < jnp.minimum(rem_v, q)[:, None]   # [V, Q]
-    gather_idx = base_v[:, None] + kk[None, :]
-    pid = jnp.where(
-        valid_k, sorted_pid[jnp.clip(gather_idx, 0, e_total - 1)], 0
-    )
-
-    # One row-gather for all 7 sprite params (vs 7 random element-gathers:
-    # a 32 B row costs the same memory transaction as 4 B on TPU).
-    params = jnp.stack(
-        [cx, cy, inv2hx, inv2hy, cr, cg, cb, jnp.zeros_like(cx)], axis=1
-    )                                   # [Np, 8]
-    gathered = params[pid]              # [V, Q, 8]
+    valid_k = (kk[None, :] >= lo_k[:, None]) & (kk[None, :] < hi_k[:, None])
     sa = jnp.where(valid_k, intensity, 0.0)  # [V, Q]; dead slots blend 0
+
+    def rows(a):  # sorted per-entry [E] -> aligned rows [V, Q]
+        if e_pad:
+            # tail pad: beyond every tile's `ends`, never selected by masks
+            a = jnp.concatenate([a, jnp.zeros((e_pad,), a.dtype)])
+        return a.reshape(data_rows, q)[j_v]
+
+    sp = jnp.stack(
+        [rows(s_cx), rows(s_cy), rows(s_ihx), rows(s_ihy),
+         rows(s_cr), rows(s_cg), rows(s_cb), sa],
+        axis=0,
+    )                                   # [8, V, Q]
 
     if use_pallas_composite:
         # VMEM-resident composite kernel: params in, (rgb, T) rows out —
@@ -233,23 +255,21 @@ def _render(
             composite_rows_pallas,
         )
 
-        sp = jnp.concatenate(
-            [gathered.transpose(2, 1, 0)[:7], sa.T[None]], axis=0
-        )                               # [8, Q, V]
         bases = jnp.stack(
             [
                 (base_x[tile_vc]).astype(jnp.float32),
                 (base_y[tile_vc]).astype(jnp.float32),
             ]
         )                               # [2, V]
-        out4 = composite_rows_pallas(sp, bases, TILE_H, TILE_W, blend=blend)
+        out4 = composite_rows_pallas(
+            sp.transpose(0, 2, 1), bases, TILE_H, TILE_W, blend=blend
+        )
         cr_v = out4[0].T
         cg_v = out4[1].T
         cb_v = out4[2].T
         tv = out4[3].T
     else:
-        gathered_t = gathered.transpose(1, 0, 2)  # [Q, V, 8]
-        xs = tuple(gathered_t[:, :, c] for c in range(7)) + (sa.T,)
+        xs = tuple(sp[c].T for c in range(8))  # each [Q, V]
         pxc_v = pxc[tile_vc]
         pyc_v = pyc[tile_vc]
 

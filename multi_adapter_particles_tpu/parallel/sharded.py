@@ -23,11 +23,11 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from multi_adapter_particles_tpu.config import SimConfig
 from multi_adapter_particles_tpu.models import integrator
-from multi_adapter_particles_tpu.models.state import ParticleState, padded_count
+from multi_adapter_particles_tpu.models.state import ParticleState
 from multi_adapter_particles_tpu.ops import allpairs
 from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 from multi_adapter_particles_tpu.parallel.mesh import (

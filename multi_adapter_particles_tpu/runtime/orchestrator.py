@@ -22,8 +22,6 @@ from __future__ import annotations
 import time
 from typing import List, Optional
 
-import jax
-
 from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
 from multi_adapter_particles_tpu.runtime import devices as devmod
 from multi_adapter_particles_tpu.runtime.compute_engine import ComputeEngine

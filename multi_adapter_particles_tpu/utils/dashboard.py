@@ -19,9 +19,6 @@ from __future__ import annotations
 
 import base64
 import html
-import io
-import time
-from typing import Optional
 
 ANSI_HOME = "\x1b[H\x1b[2J"
 
@@ -92,8 +89,6 @@ def write_html(app, path: str, frame=None) -> None:
 
         from multi_adapter_particles_tpu.utils.png import write_png
 
-        buf = io.BytesIO()
-        # write_png wants a path-like; reuse its encoder via a temp buffer
         arr = np.asarray(frame)
         import tempfile, os
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 from multi_adapter_particles_tpu.utils.timers import StageTimer, TimerAverageOver
 

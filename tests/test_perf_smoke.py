@@ -74,4 +74,4 @@ def test_render_frame_time():
         out = r.render_arrays(state.position, cam, 2.5, 0.15)
     _sync(out.frame)
     ms = (time.perf_counter() - t0) / 3 * 1e3
-    assert ms < 200.0, f"render {ms:.1f} ms > 200 ms ceiling"
+    assert ms < 100.0, f"render {ms:.1f} ms > 100 ms ceiling (measured 39)"

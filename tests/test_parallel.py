@@ -283,3 +283,15 @@ class TestMultiSlice:
         eng.simulate()
         eng.wait_for_gpu()
         assert np.isfinite(np.asarray(eng.positions)).all()
+
+
+class TestBootstrap:
+    def test_noop_on_single_host(self, monkeypatch):
+        from multi_adapter_particles_tpu.parallel import bootstrap
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                    "TPU_WORKER_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert bootstrap.initialize() is False
+        assert bootstrap.is_primary()
+        assert bootstrap.local_render_device() in jax.devices()

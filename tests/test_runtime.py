@@ -304,3 +304,24 @@ class TestFusedMode:
                 SimConfig(num_particles=N), SMALL_RENDER,
                 compute_adapter=0, render_adapter=1, fused=True,
             )
+
+
+class TestRenderReassignment:
+    def test_live_render_reassignment(self):
+        """Render engine rebuild on a new device mid-run; camera state
+        survives; sim unaffected (Particles.cpp:488-509)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        app = small_app()
+        app.draw()
+        app.render.camera.yaw += 0.25  # mutate camera state
+        yaw = app.render.camera.yaw
+        app.set_render_adapter(1)
+        app.draw()  # reconfigure post-present
+        app.draw()
+        assert app.render.device == app.adapters[1].device
+        assert app.render.camera.yaw == yaw  # survived the rebuild
+        assert not app.async_mode  # compute stayed on device 0
+        frame = np.asarray(app.render.last_frame)
+        assert np.isfinite(frame).all() and frame.max() > 0
+        app.shutdown()

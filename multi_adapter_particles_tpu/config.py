@@ -35,15 +35,22 @@ class SimConfig:
     # 'central_well' = the shipped CSMain (nBodyGravityCS.hlsl:85-109).
     # 'all_pairs'    = the tiled O(N^2) bodyBodyInteraction model
     #                  (nBodyGravityCS.hlsl:44-57, unused upstream but kept).
+    # 'pm_grid'      = FFT particle-mesh self-gravity (ops/pm.py): the same
+    #                  pair law as all_pairs, O(N + G^3 log G) — exceeds the
+    #                  reference (interactive self-gravity at 4M particles).
     force_model: str = "central_well"
     # Multiplier applied per interaction in the all-pairs model — the
     # `particles` argument of bodyBodyInteraction (nBodyGravityCS.hlsl:54).
     interaction_scale: float = 1.0
+    # pm_grid parameters: mesh resolution per axis and box extent (world
+    # units); particles outside the box feel/exert no PM force.
+    pm_grid_size: int = 64
+    pm_box: float = 2048.0
 
     def __post_init__(self):
         if self.num_particles <= 0:
             raise ValueError("num_particles must be positive")
-        if self.force_model not in ("central_well", "all_pairs"):
+        if self.force_model not in ("central_well", "all_pairs", "pm_grid"):
             raise ValueError(f"unknown force_model {self.force_model!r}")
 
 

@@ -163,6 +163,15 @@ def make_step(
                 mass=config.mass,
                 softening_squared=config.softening_squared,
             )
+        elif config.force_model == "pm_grid":
+            from multi_adapter_particles_tpu.ops import pm
+
+            accel_fn = pm.make_accel_fn(
+                mass=config.mass * config.interaction_scale,
+                softening_squared=config.softening_squared,
+                grid=config.pm_grid_size,
+                box=config.pm_box,
+            )
         else:
             mask = None  # padding mask applied by caller via closure below
 

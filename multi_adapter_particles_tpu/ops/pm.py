@@ -1,0 +1,190 @@
+"""Particle-mesh (PM) self-gravity: FFT convolution, isolated boundaries.
+
+A third force model beyond the reference's pair (central well O(N),
+all-pairs O(N²)): classic PM a la Hockney & Eastwood — deposit mass on a
+grid, convolve with the softened potential kernel via zero-padded FFTs
+(free-space, NOT periodic: the demo is an isolated system), take a
+central-difference gradient, interpolate forces back. O(N + G³ log G):
+multi-million-particle *self*-gravity at interactive rates where the exact
+O(N²) sum takes minutes (94 s at 4M).
+
+The potential kernel is the softened pair law, phi(r) = -g (|r|²+eps²)^{-1/2}
+with the same mass and softening as the all-pairs model
+(`nBodyGravityCS.hlsl:44-57` math), so PM converges to the all-pairs force
+for separations ≳ 2 cells; sub-cell structure is smoothed by CIC + the
+finite-difference stencil.
+
+TPU-native construction (FFTs lower to matmuls on TPU — the MXU does the
+field solve) with no scatters anywhere:
+- **Deposit**: ONE stable sort of base cell ids carrying all 8 CIC corner
+  weights as payloads (payloads ride the comparator network for free),
+  then per corner a cumsum difference at cell boundaries — and because a
+  corner's cell id is the base id plus a constant offset, its histogram is
+  just the base histogram SHIFTED: 1 sort + 1 searchsorted total.
+- **Solve**: rfftn(padded counts) x cached kernel rfft -> irfftn: 2 FFTs
+  per step (vs 4 with spectral gradients; the FFT dominates on TPU).
+- **Differentiate**: 2nd-order central differences on the potential grid.
+- **Interpolate**: the 3 accel grids pack into [G³, 4] rows so the 8 CIC
+  corners cost 8 row-gathers (a 16 B row costs one memory transaction,
+  same as 4 B).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _cic_cells(position: jax.Array, grid: int, box: float):
+    """Common CIC geometry: base cell, fractions, in-box mask."""
+    g = grid
+    h = box / g
+    # grid node i sits at x = (i + 0.5 - g/2) * h; CIC base = floor
+    u = position[:3] / h + (g / 2 - 0.5)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = (u - i0).astype(jnp.float32)
+    # keep a 1-cell margin so CIC corners and the FD stencil stay in-bounds
+    inside = jnp.all((i0 >= 1) & (i0 <= g - 3), axis=0)
+    return i0, frac, inside
+
+
+def _corner_weights(frac):
+    """[8, N] trilinear weights in (dz, dy, dx) binary order."""
+    ws = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ws.append(
+                    (frac[0] if dx else 1.0 - frac[0])
+                    * (frac[1] if dy else 1.0 - frac[1])
+                    * (frac[2] if dz else 1.0 - frac[2])
+                )
+    return ws
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "box"))
+def deposit_cic(position: jax.Array, grid: int, box: float) -> jax.Array:
+    """[4, N] positions -> CIC count grid [G, G, G] ([z, y, x], unit mass).
+
+    Out-of-box particles (incl. the 1e9 padding) are dropped via a
+    sentinel cell id that sorts past the histogram range.
+    """
+    g = grid
+    i0, frac, inside = _cic_cells(position, grid, box)
+    ncell = g * g * g
+    base = i0[2] * g * g + i0[1] * g + i0[0]
+    base = jnp.where(inside, base, ncell)
+    ws = [jnp.where(inside, w, 0.0) for w in _corner_weights(frac)]
+
+    sorted_ops = jax.lax.sort(
+        (base, *ws), dimension=0, num_keys=1, is_stable=False
+    )
+    sbase = sorted_ops[0]
+    bounds = jnp.searchsorted(
+        sbase, jnp.arange(ncell + 1, dtype=jnp.int32), side="left"
+    )
+    rho = jnp.zeros((g, g, g), jnp.float32)
+    corner = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                sw = sorted_ops[1 + corner]
+                csum = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.float32), jnp.cumsum(sw)]
+                )
+                hist = (csum[bounds[1:]] - csum[bounds[:-1]]).reshape(g, g, g)
+                # corner cell = base + (dx, dy, dz): shift the histogram
+                rho = rho.at[
+                    dz : g, dy : g, dx : g
+                ].add(hist[: g - dz, : g - dy, : g - dx])
+                corner += 1
+    return rho
+
+
+def _potential_kernel_rfft(grid: int, box: float, eps2: float):
+    """rfft of phi(r) = -(|r|²+eps²)^{-1/2} on the doubled grid (min-image
+    offsets). Pure function of statics — constant-folded under jit."""
+    g2 = 2 * grid
+    h = box / grid
+    m = jnp.arange(g2)
+    off = (((m + grid) % g2) - grid).astype(jnp.float32) * h   # [-G, G) * h
+    rz = off[:, None, None]
+    ry = off[None, :, None]
+    rx = off[None, None, :]
+    d2 = rx * rx + ry * ry + rz * rz + jnp.float32(eps2)
+    return jnp.fft.rfftn(-jax.lax.rsqrt(d2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "box", "g_const", "softening_squared")
+)
+def pm_accel(
+    position: jax.Array,  # [4, N]
+    grid: int = 64,
+    box: float = 2048.0,
+    g_const: float = 1.0,
+    softening_squared: float = 25.0,
+) -> jax.Array:
+    """-> accel [3, N]: isolated-boundary FFT-PM with the all-pairs pair
+    law (g_const = SimConfig.mass, same softening)."""
+    g = grid
+    g2 = 2 * g
+    h = box / g
+    rho = deposit_cic(position, g, box)
+    rho_pad = jnp.zeros((g2, g2, g2), jnp.float32)
+    rho_pad = rho_pad.at[:g, :g, :g].set(rho)
+    phi = jnp.fft.irfftn(
+        jnp.fft.rfftn(rho_pad) * _potential_kernel_rfft(g, box,
+                                                        softening_squared),
+        s=(g2, g2, g2),
+    )[:g, :g, :g] * jnp.float32(g_const)
+
+    # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
+    inv2h = jnp.float32(1.0 / (2.0 * h))
+    zero = jnp.zeros_like(phi)
+    ax = zero.at[:, :, 1:-1].set((phi[:, :, :-2] - phi[:, :, 2:]) * inv2h)
+    ay = zero.at[:, 1:-1, :].set((phi[:, :-2, :] - phi[:, 2:, :]) * inv2h)
+    az = zero.at[1:-1, :, :].set((phi[:-2, :, :] - phi[2:, :, :]) * inv2h)
+
+    # pack accel grids as rows so each CIC corner is ONE row-gather
+    acc4 = jnp.stack(
+        [
+            ax.reshape(-1), ay.reshape(-1), az.reshape(-1),
+            jnp.zeros((g * g * g,), jnp.float32),
+        ],
+        axis=1,
+    )                                                   # [G^3, 4]
+
+    i0, frac, inside = _cic_cells(position, g, box)
+    i0c = jnp.clip(i0, 0, g - 2)
+    ws = _corner_weights(frac)
+    acc = jnp.zeros((position.shape[1], 4), jnp.float32)
+    corner = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cid = (
+                    (i0c[2] + dz) * g * g + (i0c[1] + dy) * g + (i0c[0] + dx)
+                )
+                acc = acc + ws[corner][:, None] * acc4[cid]
+                corner += 1
+    return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
+
+
+def make_accel_fn(
+    mass: float,
+    softening_squared: float = 25.0,
+    grid: int = 64,
+    box: float = 2048.0,
+):
+    """Adapter matching the integrator's accel_fn signature."""
+
+    def accel_fn(position: jax.Array) -> jax.Array:
+        return pm_accel(
+            position, grid=grid, box=box, g_const=mass,
+            softening_squared=softening_squared,
+        )
+
+    return accel_fn

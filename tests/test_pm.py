@@ -1,0 +1,109 @@
+"""PM (FFT particle-mesh) force model vs the exact all-pairs law.
+
+PM should reproduce the softened all-pairs force for separations well
+above the mesh spacing, conserve momentum (kernel antisymmetry), and
+plug into the integrator as force_model='pm_grid'.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu.config import SimConfig
+from multi_adapter_particles_tpu.models import init as pinit, integrator
+from multi_adapter_particles_tpu.ops import pm
+
+MASS = 70000.0
+EPS2 = 25.0
+
+
+def aos(pos3):
+    p = np.zeros((4, pos3.shape[0]), np.float32)
+    p[:3] = pos3.T
+    return jnp.asarray(p)
+
+
+class TestDeposit:
+    def test_total_mass_conserved(self):
+        rng = np.random.default_rng(0)
+        pos3 = rng.uniform(-800, 800, (1000, 3)).astype(np.float32)
+        rho = pm.deposit_cic(aos(pos3), grid=32, box=2048.0)
+        assert float(jnp.sum(rho)) == pytest.approx(1000.0, rel=1e-5)
+
+    def test_out_of_box_dropped(self):
+        pos3 = np.array([[0, 0, 0], [1e9, 1e9, 1e9]], np.float32)
+        rho = pm.deposit_cic(aos(pos3), grid=32, box=2048.0)
+        assert float(jnp.sum(rho)) == pytest.approx(1.0, rel=1e-6)
+
+    def test_single_particle_at_node(self):
+        # particle exactly on a grid node -> all mass in one cell
+        g, box = 32, 2048.0
+        h = box / g
+        node = (np.array([5, 7, 9]) + 0.5 - g / 2) * h
+        rho = np.asarray(pm.deposit_cic(aos(node[None, :]), grid=g, box=box))
+        assert rho[9, 7, 5] == pytest.approx(1.0, rel=1e-5)  # [z, y, x]
+        assert rho.sum() == pytest.approx(1.0, rel=1e-5)
+
+
+class TestForceAccuracy:
+    def test_two_body_far_field(self):
+        """Two particles 600 units apart (≈ 9 cells at G=64, box=4096):
+        PM force within a few % of the exact softened pair force."""
+        g, box = 64, 4096.0
+        pos3 = np.array([[-300, 0, 0], [300, 0, 0]], np.float32)
+        acc = np.asarray(
+            pm.pm_accel(aos(pos3), grid=g, box=box, g_const=MASS,
+                        softening_squared=EPS2)
+        )
+        r = 600.0
+        exact = MASS / (r * r + EPS2) ** 1.5 * r  # toward the other body
+        assert acc[0, 0] == pytest.approx(exact, rel=0.05)
+        assert acc[0, 1] == pytest.approx(-exact, rel=0.05)
+        # perpendicular components ~0
+        assert abs(acc[1, 0]) < 0.02 * exact
+        assert abs(acc[2, 0]) < 0.02 * exact
+
+    def test_matches_all_pairs_on_cluster(self):
+        """Random blob: PM accel correlates with exact all-pairs to a few
+        percent RMS (far-field dominated)."""
+        rng = np.random.default_rng(3)
+        n = 512
+        pos3 = rng.normal(0, 300, (n, 3)).astype(np.float32)
+        p = aos(pos3)
+        a_pm = np.asarray(
+            pm.pm_accel(p, grid=64, box=4096.0, g_const=MASS,
+                        softening_squared=EPS2)
+        )
+        a_ex = np.asarray(
+            integrator.all_pairs_accel(
+                p, mass=MASS, softening_squared=EPS2
+            )
+        )
+        scale = np.abs(a_ex).max()
+        rms = np.sqrt(np.mean((a_pm - a_ex) ** 2)) / scale
+        assert rms < 0.08, f"PM rms error {rms:.3f}"
+
+    def test_momentum_conservation(self):
+        """Kernel antisymmetry: total PM momentum change ~0."""
+        rng = np.random.default_rng(5)
+        pos3 = rng.normal(0, 200, (256, 3)).astype(np.float32)
+        acc = np.asarray(
+            pm.pm_accel(aos(pos3), grid=64, box=2048.0, g_const=MASS,
+                        softening_squared=EPS2)
+        )
+        total = np.abs(acc.sum(axis=1))
+        assert np.all(total < 1e-2 * np.abs(acc).max() * 256)
+
+
+class TestIntegration:
+    def test_pm_grid_force_model_steps(self):
+        cfg = SimConfig(num_particles=512, force_model="pm_grid",
+                        pm_grid_size=32, pm_box=4096.0)
+        step = integrator.make_step(cfg, donate=False)
+        s = pinit.initialize_particles_device(512, seed=0)
+        for _ in range(3):
+            s = step(s)
+        pos = np.asarray(s.position)
+        assert np.isfinite(pos[:, :512]).all()
+        # pos.w carries |accel| like the other models
+        assert pos[3, :512].max() > 0

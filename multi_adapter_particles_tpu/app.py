@@ -54,8 +54,12 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_int("steps", "number of frames to run (0 = forever)",
               lambda v: extra.__setitem__("steps", v))
     p.add_int("seed", "init RNG seed", lambda v: extra.__setitem__("seed", v))
-    p.add_str("force", "force model: central_well | all_pairs",
+    p.add_str("force", "force model: central_well | all_pairs | pm_grid",
               lambda v: extra.__setitem__("force", v))
+    p.add_float("interactionscale",
+                "per-pair force multiplier (use 1/N to keep the total mass "
+                "at the central-well value for self-gravity models)",
+                lambda v: extra.__setitem__("interaction_scale", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_int("computeadapter", "compute adapter index",
@@ -128,6 +132,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     sim_cfg = SimConfig(
         num_particles=app_cfg.num_particles,
         force_model=extra.get("force", "central_well"),
+        interaction_scale=extra.get("interaction_scale", 1.0),
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),

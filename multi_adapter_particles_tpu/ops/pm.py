@@ -117,22 +117,22 @@ def _potential_kernel_rfft(grid: int, box: float, eps2: float):
     return jnp.fft.rfftn(-jax.lax.rsqrt(d2))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid", "box", "g_const", "softening_squared")
-)
-def pm_accel(
-    position: jax.Array,  # [4, N]
-    grid: int = 64,
-    box: float = 2048.0,
-    g_const: float = 1.0,
-    softening_squared: float = 25.0,
+def solve_and_gather(
+    rho: jax.Array,       # [G, G, G] deposited counts ([z, y, x])
+    position: jax.Array,  # [4, N] — the particles to interpolate onto
+    grid: int,
+    box: float,
+    g_const: float,
+    softening_squared: float,
 ) -> jax.Array:
-    """-> accel [3, N]: isolated-boundary FFT-PM with the all-pairs pair
-    law (g_const = SimConfig.mass, same softening)."""
+    """Field solve + gradient + trilinear gather-back -> accel [3, N].
+
+    Split out from `pm_accel` so the sharded step can psum per-shard
+    deposits into `rho` and then run this part locally on every device
+    (traceable inside shard_map; jit-wrapped by the caller)."""
     g = grid
     g2 = 2 * g
     h = box / g
-    rho = deposit_cic(position, g, box)
     rho_pad = jnp.zeros((g2, g2, g2), jnp.float32)
     rho_pad = rho_pad.at[:g, :g, :g].set(rho)
     phi = jnp.fft.irfftn(
@@ -171,6 +171,25 @@ def pm_accel(
                 acc = acc + ws[corner][:, None] * acc4[cid]
                 corner += 1
     return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "box", "g_const", "softening_squared")
+)
+def pm_accel(
+    position: jax.Array,  # [4, N]
+    grid: int = 64,
+    box: float = 2048.0,
+    g_const: float = 1.0,
+    softening_squared: float = 25.0,
+) -> jax.Array:
+    """-> accel [3, N]: isolated-boundary FFT-PM with the all-pairs pair
+    law (g_const = SimConfig.mass, same softening)."""
+    rho = deposit_cic(position, grid, box)
+    return solve_and_gather(
+        rho, position, grid=grid, box=box, g_const=g_const,
+        softening_squared=softening_squared,
+    )
 
 
 def make_accel_fn(

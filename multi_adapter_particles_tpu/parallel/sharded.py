@@ -117,6 +117,25 @@ def make_sharded_step(
             block = jax.lax.ppermute(block, AXIS, inner_perm)  # home again
         return acc, block
 
+    def pm_accel_sharded(position):
+        """PM on the mesh: every shard deposits its own particles, the
+        [G³] grids all-reduce (psum — the grid is tiny next to particle
+        state), then each shard solves the identical FFT locally and
+        interpolates its own particles. Redundant solves beat shipping
+        fields for these grid sizes."""
+        from multi_adapter_particles_tpu.ops import pm
+
+        rho = pm.deposit_cic(position, cfg.pm_grid_size, cfg.pm_box)
+        rho = jax.lax.psum(rho, AXIS)
+        if multislice:
+            rho = jax.lax.psum(rho, OUTER_AXIS)
+        return pm.solve_and_gather(
+            rho, position,
+            grid=cfg.pm_grid_size, box=cfg.pm_box,
+            g_const=cfg.mass * cfg.interaction_scale,
+            softening_squared=cfg.softening_squared,
+        )
+
     def local_step(position, velocity, num_sim: Optional[int]):
         # position [4, n_loc], velocity [3, n_loc] — per-device blocks.
         old_position, old_velocity = position, velocity
@@ -124,6 +143,8 @@ def make_sharded_step(
             accel = integrator.central_well_accel(
                 position, cfg.mass, cfg.softening_squared
             )
+        elif cfg.force_model == "pm_grid":
+            accel = pm_accel_sharded(position)
         else:
             # Hierarchical ring (single-slice: plain ring): each outer
             # stage rotates the working block set one slice over DCN, and

@@ -107,3 +107,60 @@ class TestIntegration:
         assert np.isfinite(pos[:, :512]).all()
         # pos.w carries |accel| like the other models
         assert pos[3, :512].max() > 0
+
+
+class TestShardedPM:
+    def test_mesh_pm_matches_single_device(self):
+        import jax
+
+        from multi_adapter_particles_tpu.parallel import (
+            make_mesh, make_sharded_step, shard_state,
+        )
+
+        devices = jax.devices()
+        if len(devices) < 4:
+            pytest.skip("needs 4+ devices")
+        n = 1024
+        cfg = SimConfig(
+            num_particles=n, force_model="pm_grid",
+            pm_grid_size=32, pm_box=4096.0, interaction_scale=1.0 / n,
+        )
+        ref = integrator.make_step(cfg, donate=False)(
+            pinit.initialize_particles_device(n, seed=2)
+        )
+        mesh = make_mesh(devices[:4])
+        sstate = shard_state(pinit.initialize_particles_device(n, seed=2), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    def test_multislice_pm(self):
+        import jax
+
+        from multi_adapter_particles_tpu.parallel import (
+            make_sharded_step, shard_state,
+        )
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 devices")
+        n = 1024
+        cfg = SimConfig(
+            num_particles=n, force_model="pm_grid",
+            pm_grid_size=32, pm_box=4096.0, interaction_scale=1.0 / n,
+        )
+        ref = integrator.make_step(cfg, donate=False)(
+            pinit.initialize_particles_device(n, seed=4)
+        )
+        mesh = make_multislice_mesh(2, devices)
+        sstate = shard_state(pinit.initialize_particles_device(n, seed=4), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-5, atol=1e-3,
+        )

@@ -1,0 +1,71 @@
+"""End-to-end CLI main() runs (headless, tiny sizes, CPU backend)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu.app import main
+
+
+def run(args):
+    return main(args)
+
+
+def test_basic_run_with_artifacts(tmp_path):
+    frame = str(tmp_path / "f.png")
+    metrics = str(tmp_path / "m.json")
+    ckpt = str(tmp_path / "c.npz")
+    rc = run([
+        "-numparticles", "1024", "-steps", "3", "-size", "8", "-novsync",
+        "-nogui", "-width", "256", "-height", "256",
+        "-dumpframe", frame, "-metrics", metrics, "-checkpoint", ckpt,
+    ])
+    assert rc == 0
+    assert os.path.getsize(frame) > 0
+    m = json.loads(open(metrics).read())
+    assert m["counters"]["frames"] == 3
+    # resume continues from the checkpoint
+    rc = run([
+        "-numparticles", "1024", "-steps", "2", "-novsync", "-nogui",
+        "-width", "256", "-height", "256", "-resume", ckpt,
+    ])
+    assert rc == 0
+
+
+def test_preset_run():
+    rc = run(["-preset", "10k-allpairs", "-steps", "2", "-nogui"])
+    assert rc == 0
+
+
+def test_fused_and_force_flags(tmp_path):
+    rc = run([
+        "-numparticles", "1024", "-steps", "2", "-novsync", "-nogui",
+        "-width", "256", "-height", "256", "-fused",
+    ])
+    assert rc == 0
+    rc = run([
+        "-numparticles", "1024", "-steps", "2", "-novsync", "-nogui",
+        "-force", "pm_grid", "-interactionscale", "0.001",
+    ])
+    assert rc == 0
+
+
+def test_meshdevices_flag():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4+ devices")
+    rc = run([
+        "-numparticles", "1024", "-steps", "2", "-novsync", "-nogui",
+        "-width", "256", "-height", "256",
+        "-force", "all_pairs", "-meshdevices", "4",
+    ])
+    assert rc == 0
+
+
+def test_listadapters(capsys):
+    rc = run(["-listadapters"])
+    assert rc == 0
+    assert "cpu" in capsys.readouterr().out

@@ -95,16 +95,21 @@ def composite_rows_pallas(
     _, q_len, v = sp.shape
     if q_len % 8:
         raise ValueError("Q must be a multiple of 8")
-    while v % vb:
-        vb //= 2
+    # pad the row axis to the block multiple (lane dims must be 128-divisible
+    # blocks); padded rows have zero alpha-scale -> identity composites
+    pad = (-v) % vb
+    if pad:
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        bases = jnp.pad(bases, ((0, 0), (0, pad)))
+    vp = v + pad
     px = tile_h * tile_w
 
     kernel = functools.partial(
         _kernel, q_len=q_len, tile_h=tile_h, tile_w=tile_w, blend=blend
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(v // vb,),
+        grid=(vp // vb,),
         in_specs=[
             pl.BlockSpec((8, q_len, vb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -112,14 +117,15 @@ def composite_rows_pallas(
         ],
         out_specs=pl.BlockSpec((4, px, vb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, px, v), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, px, vp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(v) * int(q_len) * px * 14,
-            bytes_accessed=int(v) * (q_len * 32 + px * 16 + 8),
-            transcendentals=int(v) * int(q_len) * px,
+            flops=int(vp) * int(q_len) * px * 14,
+            bytes_accessed=int(vp) * (q_len * 32 + px * 16 + 8),
+            transcendentals=int(vp) * int(q_len) * px,
         ),
         interpret=interpret_flag(),
     )(sp, bases)
+    return out[:, :, :v] if pad else out

@@ -214,9 +214,12 @@ class ParticlesApp:
             self._display_positions = eng.positions
             self.frame_count += 1
             return
+        # profile on the LAST frame of each window so the first sample is
+        # post-compile (frame 0 would fold 30+ s of compilation into the EMA)
         profile = (
             self.profile_every > 0
-            and self.frame_count % self.profile_every == 0
+            and self.frame_count % self.profile_every
+            == self.profile_every - 1
         )
 
         if self.draw_enabled:

@@ -350,11 +350,15 @@ class Renderer:
     def __init__(
         self,
         config: Optional[RenderConfig] = None,
-        seg_q: int = 64,
+        seg_q: Optional[int] = None,
         dup_y: int = 2,
         dup_x: int = 2,
         blend: str = "over",
     ):
+        """seg_q None = adaptive: ~half the mean entries/tile, clamped to
+        [32, 256] (measured optimum scales with particle density: Q=64 best
+        at 262K, Q=256 best at 4M — per-row bookkeeping dominates small Q,
+        tail padding dominates large Q)."""
         self.config = config or RenderConfig()
         if self.config.width % TILE_W or self.config.height % TILE_H:
             raise ValueError(
@@ -388,6 +392,13 @@ class Renderer:
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         )
         n = position.shape[1]
+        q = seg_q or self.seg_q
+        if q is None:
+            tiles = (cfg.width // TILE_W) * (cfg.height // TILE_H)
+            density = n * self.dup_y * self.dup_x // max(tiles, 1)
+            q = 32
+            while q < 256 and q * 2 <= density // 2:
+                q *= 2
         return _render(
             position,
             jnp.asarray(wvp),
@@ -398,13 +409,12 @@ class Renderer:
             jnp.int32(n if num_draw is None else num_draw),
             width=cfg.width,
             height=cfg.height,
-            seg_q=seg_q or self.seg_q,
+            seg_q=q,
             dup_y=self.dup_y,
             dup_x=self.dup_x,
             near=cfg.near,
             blend=self.blend,
-            use_pallas_composite=self.use_pallas_composite
-            and (seg_q or self.seg_q) % 8 == 0,
+            use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
         )
 
     def render(self, position, camera, particle_size, particle_intensity,

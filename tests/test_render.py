@@ -246,3 +246,36 @@ class TestPallasComposite:
             np.asarray(a.frame), np.asarray(b.frame), rtol=1e-5, atol=1e-6
         )
         assert np.asarray(a.frame).max() > 0
+
+
+class TestCameraVariationGolden:
+    @pytest.mark.parametrize("yaw,pitch,dist", [
+        (np.pi + 0.4, 0.2, 1500.0),
+        (np.pi - 0.3, -0.35, 900.0),
+    ])
+    def test_matches_reference_under_fly_camera(self, yaw, pitch, dist):
+        """Golden comparison holds for non-default camera poses (the fly
+        controls the reference wires but never uses, SimpleCamera.cpp)."""
+        rng = np.random.default_rng(int(yaw * 100))
+        n = 50
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-250, 250, size=(n, 3)).astype(np.float32)
+        pos[:, 3] = rng.uniform(0, 9, size=n).astype(np.float32)
+        cfg = RenderConfig(width=256, height=128)
+        camera = cam.Camera(position=(100.0, -50.0, dist))
+        camera.yaw = yaw
+        camera.pitch = pitch
+
+        golden = ref.render_reference(
+            pos, cfg, camera=camera, particle_size=8.0,
+            particle_intensity=0.6,
+        )
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        r = Renderer(cfg)
+        frame = np.asarray(
+            r.render(st.position, camera, 8.0, 0.6, num_draw=n)
+        )
+        assert np.abs(frame - golden).max() < 2e-3
+        assert frame.max() > 0

@@ -325,3 +325,23 @@ class TestRenderReassignment:
         frame = np.asarray(app.render.last_frame)
         assert np.isfinite(frame).all() and frame.max() > 0
         app.shutdown()
+
+
+class TestFusedPm:
+    def test_fused_with_pm_grid(self):
+        """Fused single-program frame works with the PM force model."""
+        app = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N, force_model="pm_grid",
+                      pm_grid_size=32, pm_box=4096.0,
+                      interaction_scale=1.0 / N),
+            SMALL_RENDER,
+            fused=True,
+        )
+        app.draw()
+        app.draw()
+        app.compute.wait_for_gpu()
+        pos = np.asarray(app.compute.positions)
+        assert np.isfinite(pos[:, :N]).all()
+        assert np.asarray(app.render.last_frame).max() > 0
+        app.shutdown()

@@ -376,6 +376,19 @@ class Renderer:
         self.last_overflow = 0
         self.last_truncated = 0
 
+    def resolve_seg_q(self, n: int, seg_q: Optional[int] = None) -> int:
+        """Adaptive segment size: ~half the mean entries per tile, [32, 256]."""
+        q = seg_q or self.seg_q
+        if q is not None:
+            return q
+        cfg = self.config
+        tiles = (cfg.width // TILE_W) * (cfg.height // TILE_H)
+        density = n * self.dup_y * self.dup_x // max(tiles, 1)
+        q = 32
+        while q < 256 and q * 2 <= density // 2:
+            q *= 2
+        return q
+
     def render_arrays(
         self,
         position: jax.Array,
@@ -392,13 +405,7 @@ class Renderer:
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         )
         n = position.shape[1]
-        q = seg_q or self.seg_q
-        if q is None:
-            tiles = (cfg.width // TILE_W) * (cfg.height // TILE_H)
-            density = n * self.dup_y * self.dup_x // max(tiles, 1)
-            q = 32
-            while q < 256 and q * 2 <= density // 2:
-                q *= 2
+        q = self.resolve_seg_q(n, seg_q)
         return _render(
             position,
             jnp.asarray(wvp),

@@ -94,12 +94,16 @@ class FusedEngine:
 
         def fused(state, wvp, p00, p11, radius, intensity, num_draw, num_sim):
             # draw frame N (pre-step positions: the stale-by-one contract)...
+            q = self.renderer.resolve_seg_q(state.padded_count)
             out = rmod._render(
                 state.position, wvp, p00, p11, radius, intensity, num_draw,
                 width=rcfg.width, height=rcfg.height,
-                seg_q=self.renderer.seg_q,
+                seg_q=q,
                 dup_y=self.renderer.dup_y, dup_x=self.renderer.dup_x,
                 near=rcfg.near, blend=self.renderer.blend,
+                use_pallas_composite=(
+                    self.renderer.use_pallas_composite and q % 8 == 0
+                ),
             )
             # ...while/then integrating to N+1, all inside one program
             new_state = step_core(state, num_sim)

@@ -15,10 +15,13 @@ orchestrator can slot it into both roles. Per-stage timers are unavailable
 by construction (one program) — the frame EMA is the metric, exactly like
 vsynced present timing.
 
-When to use: fused wins when frames are dispatch-bound (small/medium N:
-1.6x at 262K measured); at large N split mode wins (411 vs 543 ms/frame at
-4M) because the fused program must copy the donated state for the
-stale-by-one render read, while split engines alias it for free.
+When to use: fused wins when every frame must host-sync (vsync-style
+pacing: one dispatch per frame instead of two halves the sync overhead —
+1.6x at 262K measured under per-frame present). For pure throughput with
+dispatch-ahead (-novsync), split mode wins at every size measured (30.7 vs
+42.6 ms/frame at 262K; 411 vs 543 ms at 4M): split overlaps sim and render
+across dispatches and aliases the stale-by-one read for free, while the
+fused program serializes the stages and copies the donated state.
 """
 
 from __future__ import annotations

@@ -85,16 +85,20 @@ def deposit_cic(position: jax.Array, grid: int, box: float) -> jax.Array:
     bounds = jnp.searchsorted(
         sbase, jnp.arange(ncell + 1, dtype=jnp.int32), side="left"
     )
+    # all 8 corner weights in ONE cumsum pass + ONE row-gather at the
+    # boundaries (vs 8 separate scans and element-gathers)
+    sw8 = jnp.stack(sorted_ops[1:], axis=1)            # [N, 8]
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(sw8, axis=0)]
+    )                                                  # [N+1, 8]
+    at_bounds = csum[bounds]                           # [ncell+1, 8] rows
+    hist8 = at_bounds[1:] - at_bounds[:-1]             # [ncell, 8]
     rho = jnp.zeros((g, g, g), jnp.float32)
     corner = 0
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                sw = sorted_ops[1 + corner]
-                csum = jnp.concatenate(
-                    [jnp.zeros((1,), jnp.float32), jnp.cumsum(sw)]
-                )
-                hist = (csum[bounds[1:]] - csum[bounds[:-1]]).reshape(g, g, g)
+                hist = hist8[:, corner].reshape(g, g, g)
                 # corner cell = base + (dx, dy, dz): shift the histogram
                 rho = rho.at[
                     dz : g, dy : g, dx : g
@@ -148,28 +152,24 @@ def solve_and_gather(
     ay = zero.at[:, 1:-1, :].set((phi[:, :-2, :] - phi[:, 2:, :]) * inv2h)
     az = zero.at[1:-1, :, :].set((phi[:-2, :, :] - phi[2:, :, :]) * inv2h)
 
-    # pack accel grids as rows so each CIC corner is ONE row-gather
-    acc4 = jnp.stack(
-        [
-            ax.reshape(-1), ay.reshape(-1), az.reshape(-1),
-            jnp.zeros((g * g * g,), jnp.float32),
-        ],
-        axis=1,
-    )                                                   # [G^3, 4]
+    # Pack the whole 2x2x2 neighborhood into ONE 32-float row per base cell
+    # (grids are [z, y, x]; deposit cid = z*g*g + y*g + x), so trilinear
+    # interpolation costs a single row-gather per particle instead of 8 —
+    # random-access rows dominate PM cost at multi-million N.
+    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)  # [g, g, g, 4]
+    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    corners = [
+        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    acc32 = jnp.concatenate(corners, axis=1)            # [G^3, 32]
 
     i0, frac, inside = _cic_cells(position, g, box)
     i0c = jnp.clip(i0, 0, g - 2)
-    ws = _corner_weights(frac)
-    acc = jnp.zeros((position.shape[1], 4), jnp.float32)
-    corner = 0
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                cid = (
-                    (i0c[2] + dz) * g * g + (i0c[1] + dy) * g + (i0c[0] + dx)
-                )
-                acc = acc + ws[corner][:, None] * acc4[cid]
-                corner += 1
+    cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
+    rows = acc32[cid].reshape(position.shape[1], 8, 4)  # ONE gather
+    w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
+    acc = jnp.sum(rows * w8[:, :, None], axis=1)        # [N, 4]
     return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
 
 

@@ -10,19 +10,24 @@ splatting fights the VPU — so the pipeline is re-shaped as a *gather*:
    screen-axis-aligned rectangle -> a particle is fully described by
    (center, half-extents, rgb, intensity).
 2. **Bin** sprites to (tile_h x tile_w) pixel tiles: each particle emits up
-   to DY x DX candidate (tile, id) entries; a single *stable* sort by tile
-   key orders entries by tile and, within a tile, by particle id — exactly
-   the draw order the reference's single DrawInstanced call produces
-   (`Render.cpp:891`), so ordered alpha blending is preserved.
-3. **Composite** with a `lax.scan` over the per-tile depth K: step k blends
-   sprite k of *every* tile simultaneously — [num_tiles, tile_px]-wide VPU
-   ops, no scatters anywhere. "Over" blending is associative, so any
-   chunking of this loop that respects order is legal.
+   to DY x DX candidate (tile, id) entries; ONE stable multi-operand sort
+   by tile key co-sorts all sprite params as payloads (payloads ride the
+   comparator network for free) and orders entries by tile then particle
+   id — exactly the draw order of the reference's single DrawInstanced
+   call (`Render.cpp:891`), so ordered alpha blending is preserved.
+3. **Composite** exactly at ANY depth: over-composition with a per-sprite
+   source clamp is associative on (premultiplied color, transmittance), so
+   the sorted entry stream splits into Q-ALIGNED data rows (a pure reshape
+   — no random gathers); each (data row, tile) intersection is a virtual
+   row of one depth-Q pass ([lo, hi) masks select the tile's slice, and a
+   boundary row repeats once per tile it straddles), then consecutive rows
+   of a tile tree-combine in O(log max_segments) passes. On TPU the
+   depth-Q pass is a VMEM-resident Pallas kernel (ops/composite.py);
+   elsewhere a lax.scan.
 
-The per-tile depth is a static `k_max`; tiles deeper than that drop their
-tail and the dropped count is returned (`overflow`) so callers can re-render
-with a bigger bucket (the engine auto-doubles; compilations are cached per
-bucket). This is the no-silent-caps contract.
+There is no depth cap and nothing is ever dropped; `overflow` is always 0
+(kept for the metrics surface). `truncated` counts sprite-tile entries
+outside the dup_y x dup_x candidate window (raise dup for huge sprites).
 
 Matches `render/reference.py` (the exact NumPy oracle) to fp32 tolerance;
 golden tests in tests/test_render.py.
@@ -53,10 +58,10 @@ TILE_W = 16
 
 class FrameOutput(NamedTuple):
     frame: jax.Array      # [H, W, 3] float32 in [0, 1]
-    overflow: jax.Array   # int32 — sprite entries dropped by the k_max cap
-    truncated: jax.Array  # int32 — tile entries beyond the dup_y x dup_x grid
-    #                       (sprites bigger than the dup window; fixed by a
-    #                       larger dup grid, not by k_max)
+    overflow: jax.Array   # int32 — always 0 (exact composite; metrics API)
+    truncated: jax.Array  # int32 — tile entries beyond the dup_y x dup_x
+    #                       candidate window (sprites bigger than the dup
+    #                       grid; fix by raising dup_y/dup_x)
 
 
 def _project(position, wvp, p00, p11, width, height, radius):

@@ -106,3 +106,27 @@ class TestAllPairsKernel:
             )
         )
         np.testing.assert_allclose(a2[:3], a1[:3] * 2.0, rtol=1e-5)
+
+
+class TestOddTileCount:
+    def test_allpairs_odd_j_tiles(self):
+        """The unrolled kernel's un-overlapped tail path (odd tile counts)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multi_adapter_particles_tpu.models import integrator
+        from multi_adapter_particles_tpu.ops import allpairs
+
+        n = 768  # tj=256 -> 3 j-tiles (odd)
+        pos = jax.random.uniform(
+            jax.random.PRNGKey(3), (4, n), jnp.float32, -400.0, 400.0
+        ).at[3].set(0.0)
+        a = allpairs.all_pairs_accel_pallas(
+            pos, mass=70000.0, softening_squared=25.0, ti=256, tj=256
+        )
+        b = integrator.all_pairs_accel(
+            pos, mass=70000.0, softening_squared=25.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(a)[:3], np.asarray(b), rtol=1e-4, atol=1e-2
+        )

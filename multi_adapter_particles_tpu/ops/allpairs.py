@@ -135,11 +135,13 @@ def _allpairs_kernel(
     accel_out[:, :] = jnp.concatenate([ax, ay, az, amag], axis=1)
 
 
+from multi_adapter_particles_tpu.ops.dispatch import pick_tile as _pick_tile
+
+
 def _pick(n: int, want: int) -> int:
-    t = min(want, n)
-    while n % t:
-        t //= 2
-    return max(t, 128)
+    # i-tiles live on sublanes (8-aligned); j-tiles are DMA lane slices
+    # (128-aligned) — both constraints satisfied by 128 alignment here
+    return _pick_tile(n, want, 128)
 
 
 @functools.partial(

@@ -56,11 +56,11 @@ def _kernel(pos_ref, vel_ref, out_pos_ref, out_vel_ref, *, dt, damping, mass, ep
     out_vel_ref[2:3, :] = vz
 
 
+from multi_adapter_particles_tpu.ops.dispatch import pick_tile
+
+
 def _pick_tile(n: int, want: int) -> int:
-    t = min(want, n)
-    while n % t:
-        t //= 2
-    return max(t, 128)
+    return pick_tile(n, want, 128)
 
 
 @functools.partial(

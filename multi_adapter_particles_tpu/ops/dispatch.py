@@ -30,3 +30,21 @@ def pallas_supported() -> bool:
 def interpret_flag() -> bool:
     """`interpret=` value for pallas_call: interpret on non-TPU backends."""
     return not is_tpu_backend()
+
+
+def pick_tile(n: int, want: int, align: int) -> int:
+    """Largest tile size <= `want` that divides `n` and is a multiple of
+    `align` (sublane/lane tiling). Raises when impossible — a silent
+    fallback would produce a zero-size Pallas grid and garbage output."""
+    if n % align:
+        raise ValueError(
+            f"dimension {n} is not a multiple of the required tile "
+            f"alignment {align} (pad the array or use the XLA fallback)"
+        )
+    t = min(want, n)
+    t -= t % align
+    while t >= align and n % t:
+        t -= align
+    if t < align:
+        raise ValueError(f"no {align}-aligned tile divides {n}")
+    return t

@@ -33,11 +33,14 @@ def initialize(
     args are None; explicit args override (the JAX_COORDINATOR_ADDRESS /
     NUM_PROCESSES / PROCESS_ID convention).
     """
+    # Launched iff a coordinator is named (arg or env). Deliberately NOT
+    # keyed on TPU_WORKER_ID: worker 0 of a pod carries id "0" and would be
+    # indistinguishable from a plain single host — half-initialized pods
+    # hang at startup.
     launched = (
         coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-        or os.environ.get("TPU_WORKER_ID") not in (None, "", "0")
     )
     if not launched:
         return False

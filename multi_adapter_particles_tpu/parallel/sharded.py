@@ -92,6 +92,9 @@ def make_sharded_step(
         use_pallas = pallas_supported() and all(
             d.platform == "tpu" for d in mesh.devices.ravel()
         )
+    # NOTE: Pallas j-tiles are 128-aligned DMA lane slices; a shard narrower
+    # than 128 has no valid tiling and ops.dispatch.pick_tile raises a clear
+    # error at trace time (pass use_pallas=False for such tiny shards).
     partial_accel = _partial_accel_fn(cfg, use_pallas)
     inner_perm = [(i, (i + 1) % n_inner) for i in range(n_inner)]
     outer_perm = [(i, (i + 1) % n_outer) for i in range(n_outer)]

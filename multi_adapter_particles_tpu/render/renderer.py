@@ -171,8 +171,14 @@ def _render(
     # sorting network instead of argsort + chains of random gathers
     # (random access costs ~9-17 ns/element on TPU; measured, payload
     # operands ride the comparator network for free: 9-op sort == 1-op).
-    inv2hx = 1.0 / (2.0 * hx)
-    inv2hy = 1.0 / (2.0 * hy)
+    # Degenerate sprites (hx == 0 from size 0, or w_clip == 0 at the eye
+    # plane) never bin to a tile, but their params still ride the sort as
+    # payloads of sentinel entries; a NaN/Inf there would poison composite
+    # pixels through `x * 0 == NaN`, so sanitize the geometry params.
+    inv2hx = jnp.nan_to_num(1.0 / (2.0 * hx), nan=0.0, posinf=0.0, neginf=0.0)
+    inv2hy = jnp.nan_to_num(1.0 / (2.0 * hy), nan=0.0, posinf=0.0, neginf=0.0)
+    cx = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
+    cy = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
 
     def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)

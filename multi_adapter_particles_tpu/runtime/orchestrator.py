@@ -117,7 +117,8 @@ class ParticlesApp:
                     f"{len(devices)} {compute_ad.platform} devices exist"
                 )
             self.compute = MeshComputeEngine(
-                self.sim_config, make_mesh(devices), self.metrics, seed=seed
+                self.sim_config, make_mesh(devices), self.metrics, seed=seed,
+                donate=not debug,
             )
         else:
             from multi_adapter_particles_tpu.utils.extension import (
@@ -181,12 +182,13 @@ class ParticlesApp:
                 raise ValueError(f"only {len(devices)} devices for mesh of {k}")
             self.compute = MeshComputeEngine(
                 self.sim_config, make_mesh(devices), self.metrics,
-                prev=self.compute,
+                prev=self.compute, donate=not self.debug,
             )
         else:
             self.compute = ComputeEngine(
                 self.sim_config, self.compute_adapter.device, self.metrics,
-                prev=self.compute,
+                prev=self.compute, extension=self.extension,
+                donate=not self.debug,
             )
         self.mesh_devices = k
         self.share_handles()
@@ -213,6 +215,7 @@ class ParticlesApp:
                 eng.present()  # the single host block per frame
             self._display_positions = eng.positions
             self.frame_count += 1
+            self._handle_reconfiguration()
             return
         # profile on the LAST frame of each window so the first sample is
         # post-compile (frame 0 would fold 30+ s of compilation into the EMA)
@@ -301,6 +304,32 @@ class ParticlesApp:
         rchange = self.render_adapter.index != self._prev_render_index
         if not (cchange or rchange):
             return
+
+        if self.fused_engine is not None:
+            # fused mode binds both roles to ONE device: a change must move
+            # both together, rebuilding the fused engine with state migration
+            if self.compute_adapter.device != self.render_adapter.device:
+                raise ValueError(
+                    "fused mode needs compute and render on the same device;"
+                    " move both adapters together (or restart split)"
+                )
+            from multi_adapter_particles_tpu.runtime.fused import FusedEngine
+
+            self.fused_engine.wait_for_gpu()
+            old_camera = self.fused_engine.camera
+            self.fused_engine = FusedEngine(
+                self.sim_config, self.render_config,
+                self.compute_adapter.device, self.metrics,
+                prev=self.fused_engine, donate=not self.debug,
+            )
+            self.fused_engine.camera = old_camera
+            self.compute = self.fused_engine
+            self.render = self.fused_engine
+            self._prev_compute_index = self.compute_adapter.index
+            self._prev_render_index = self.render_adapter.index
+            self.share_handles()
+            return
+
         # Drain all in-flight work on both engines (Particles.cpp:467-471).
         self.render.wait_for_gpu()
         self.compute.wait_for_gpu()
@@ -323,6 +352,8 @@ class ParticlesApp:
                 self.compute_adapter.device,
                 self.metrics,
                 prev=self.compute,
+                extension=self.extension,
+                donate=not self.debug,
             )
             self._prev_compute_index = self.compute_adapter.index
 

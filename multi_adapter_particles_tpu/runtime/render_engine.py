@@ -57,8 +57,12 @@ class RenderEngine:
         self.camera = camera or Camera(position=render_config.camera_position)
         self.renderer = renderer or Renderer(render_config)
         # Local particle buffer (the dGPU-resident copy target,
-        # Render.cpp:727-759). Allocated lazily at first copy.
+        # Render.cpp:727-759). Allocated lazily at first copy. `_local_owned`
+        # distinguishes a buffer this engine allocated (safe to donate into
+        # _splice) from a zero-copy alias of the compute state (which the
+        # sim may donate away at any time).
         self._local: Optional[jax.Array] = None
+        self._local_owned = False
         self._frame: Optional[FrameOutput] = None
         self.frame_count = 0
 
@@ -72,27 +76,38 @@ class RenderEngine:
         async ICI/PCIe transfer of exactly the first `num_copy` columns
         (padded to the lane multiple); the tail stays stale.
         """
-        src_dev = list(shared_positions.devices())[0]
         n = shared_positions.shape[1]
         nc = n if num_copy is None else min(int(num_copy), n)
         nc = -(-nc // 128) * 128  # lane-align the slice boundary
         nc = min(nc, n)
 
-        if src_dev == self.device and nc >= n:
-            self._local = shared_positions  # zero-copy async mode
+        # zero-copy only when the source lives entirely on the render
+        # device (a mesh-sharded source must go through the gather below)
+        if shared_positions.devices() == {self.device} and nc >= n:
+            self._local = shared_positions  # zero-copy async mode: an ALIAS
+            self._local_owned = False
             return self._local
 
         incoming = jax.device_put(shared_positions[:, :nc], self.device)
         self.metrics.count("transfer_bytes", float(nc) * 16.0)
         if nc >= n:
             self._local = incoming
+            self._local_owned = True
         else:
-            if self._local is None or self._local.shape != shared_positions.shape:
+            if (
+                not self._local_owned
+                or self._local is None
+                or self._local.is_deleted()
+                or self._local.shape != shared_positions.shape
+            ):
+                # never splice into an alias of the compute state — the sim
+                # step may have donated (or still own) that buffer
                 base = jnp.full(
                     shared_positions.shape, PAD_POSITION, dtype=jnp.float32
                 ).at[3, :].set(0.0)
                 self._local = jax.device_put(base, self.device)
             self._local = _splice(self._local, incoming)
+            self._local_owned = True
         return self._local
 
     # -- draw stage ----------------------------------------------------------------

@@ -345,3 +345,75 @@ class TestFusedPm:
         assert np.isfinite(pos[:, :N]).all()
         assert np.asarray(app.render.last_frame).max() > 0
         app.shutdown()
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-1 code review."""
+
+    def test_splice_after_zero_copy_alias(self):
+        """Zero-copy frame then a partial copy: must not donate the aliased
+        compute-state buffer into the splice."""
+        dev = jax.devices()[0]
+        eng = RenderEngine(SMALL_RENDER, dev)
+        ceng = ComputeEngine(SimConfig(num_particles=N), dev, seed=0)
+        local = eng.copy_simulation_results(ceng.positions)  # alias
+        assert local is ceng.positions
+        ceng.simulate()  # donates the aliased buffer
+        out = np.asarray(
+            eng.copy_simulation_results(ceng.positions, num_copy=128)
+        )
+        np.testing.assert_array_equal(
+            out[:, :128], np.asarray(ceng.positions)[:, :128]
+        )
+        ceng.simulate()  # compute state must still be healthy
+        ceng.wait_for_gpu()
+
+    def test_zero_size_sprites_no_nan(self):
+        dev = jax.devices()[0]
+        eng = RenderEngine(SMALL_RENDER, dev)
+        state = pinit.initialize_particles_device(N, seed=0)
+        app = AppConfig(num_particles=N, particle_size=0.0)
+        out = eng.draw(state.position, app, num_draw=N)
+        frame = np.asarray(out.frame)
+        assert np.isfinite(frame).all()
+        assert frame.sum() == 0.0  # size-0 sprites draw nothing
+
+    def test_debug_survives_reassignment(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        app = small_app()
+        app.debug = True  # post-hoc: only the rebuild path is under test
+        app.set_compute_adapter(1)
+        app.draw()
+        app.draw()
+        # rebuilt engine must not donate (debug invariant)
+        before = app.compute.positions
+        app.compute.simulate()
+        assert not before.is_deleted()
+        app.shutdown()
+
+    def test_fused_adapter_move_rebuilds_engine(self):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        fused = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N), SMALL_RENDER, fused=True,
+        )
+        fused.draw()
+        fused.compute.wait_for_gpu()
+        fence = fused.compute.get_fence_value()
+        fused.set_compute_adapter(1)
+        fused.set_render_adapter(1)
+        fused.draw()  # reconfigures post-present
+        fused.draw()
+        assert fused.fused_engine.device == fused.adapters[1].device
+        assert fused.compute.get_fence_value() == fence + 2
+        fused.shutdown()
+
+    def test_pick_tile_rejects_unalignable(self):
+        from multi_adapter_particles_tpu.ops.dispatch import pick_tile
+
+        assert pick_tile(1024, 2048, 128) == 1024
+        assert pick_tile(2048, 512, 128) == 512
+        with pytest.raises(ValueError, match="alignment"):
+            pick_tile(64, 512, 128)

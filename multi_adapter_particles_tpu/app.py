@@ -158,7 +158,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     if "resume" in extra:
         from multi_adapter_particles_tpu.utils.checkpoint import load_checkpoint
 
-        state, step, _n = load_checkpoint(extra["resume"])
+        state, step, ckpt_n = load_checkpoint(extra["resume"])
+        if ckpt_n != app_cfg.num_particles:
+            print(
+                f"error: checkpoint has {ckpt_n} particles but "
+                f"-numparticles is {app_cfg.num_particles}; pass "
+                f"-numparticles {ckpt_n} to resume",
+                file=sys.stderr,
+            )
+            return 2
         particles.compute.restore(state)
         particles.compute.step_count = step
         particles.share_handles()

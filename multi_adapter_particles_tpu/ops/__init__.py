@@ -7,7 +7,8 @@ rebuilt as TPU kernels:
   VMEM pass (position+velocity update and |accel| in a single kernel).
 - `allpairs.py`      — the tiled O(N^2) bodyBodyInteraction force, particle
   tiles staged through VMEM (the groupshared-memory analog).
-- `splat.py`         — point-sprite splatting rasterizer building blocks.
+- `composite.py`     — the VMEM segmented-blend (splat composite) kernel;
+  the tile-binned rasterizer that feeds it lives in `render/renderer.py`.
 
 Every kernel has an XLA fallback (used on CPU test meshes and as a
 correctness oracle); the Pallas path is selected on TPU backends.

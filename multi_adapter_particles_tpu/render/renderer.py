@@ -147,7 +147,7 @@ def _render(
     ty1 = (py1 - 1) // TILE_H
 
     # Candidate tiles: (ty0 + dy, tx0 + dx). Sprites spanning more tiles than
-    # dup_y x dup_x lose their far tiles -> counted in overflow.
+    # dup_y x dup_x lose their far tiles -> counted in `truncated` below.
     dys = jnp.arange(dup_y, dtype=jnp.int32)
     dxs = jnp.arange(dup_x, dtype=jnp.int32)
     ty = ty0[:, None, None] + dys[None, :, None]  # [Np, dup_y, 1]

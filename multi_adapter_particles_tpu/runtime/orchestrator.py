@@ -347,6 +347,13 @@ class ParticlesApp:
 
         if cchange:
             # New engine on the new device, migrating state (CopyState).
+            # A compute-adapter change while a mesh is active collapses the
+            # mesh back to one device, so drop the mesh bookkeeping first —
+            # otherwise share_handles keeps the mesh banner/gauge and
+            # async_mode=False while compute actually runs single-device.
+            if self.mesh_devices > 1:
+                self.mesh_devices = 0
+                self.metrics.gauges.pop("mesh", None)
             self.compute = ComputeEngine(
                 self.sim_config,
                 self.compute_adapter.device,

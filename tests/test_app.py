@@ -34,6 +34,22 @@ def test_basic_run_with_artifacts(tmp_path):
     assert rc == 0
 
 
+def test_resume_particle_count_mismatch(tmp_path):
+    """Resuming with a different -numparticles must fail loudly, not run
+    with configs inconsistent with the restored arrays."""
+    ckpt = str(tmp_path / "c.npz")
+    rc = run([
+        "-numparticles", "1024", "-steps", "2", "-novsync", "-nogui",
+        "-width", "256", "-height", "256", "-checkpoint", ckpt,
+    ])
+    assert rc == 0
+    rc = run([
+        "-numparticles", "2048", "-steps", "2", "-novsync", "-nogui",
+        "-width", "256", "-height", "256", "-resume", ckpt,
+    ])
+    assert rc == 2
+
+
 def test_preset_run():
     rc = run(["-preset", "10k-allpairs", "-steps", "2", "-nogui"])
     assert rc == 0

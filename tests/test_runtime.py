@@ -410,6 +410,25 @@ class TestReviewRegressions:
         assert fused.compute.get_fence_value() == fence + 2
         fused.shutdown()
 
+    def test_mesh_collapse_on_compute_cycle(self):
+        """Cycling the compute adapter while a mesh is active collapses to
+        a single-device engine AND drops the mesh bookkeeping (advisor
+        finding: stale mesh banner + async_mode)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2+ devices")
+        app = small_app(mesh_devices=2)
+        app.draw()
+        assert app.mesh_devices == 2
+        app.set_compute_adapter(
+            (app.compute_adapter.index + 1) % len(app.adapters)
+        )
+        app.draw()  # reconfigures post-present
+        assert app.mesh_devices == 0
+        assert "mesh" not in app.metrics.gauges
+        assert "Mesh" not in app.metrics.gauges["mode_banner"]
+        app.draw()
+        app.shutdown()
+
     def test_pick_tile_rejects_unalignable(self):
         from multi_adapter_particles_tpu.ops.dispatch import pick_tile
 

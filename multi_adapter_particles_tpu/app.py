@@ -33,6 +33,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                lambda: setattr(app, "fullscreen", True))
     p.add_flag("noext", "disable the queue-throttle extension analog",
                lambda: setattr(app, "use_queue_extension", False))
+    p.add_int("framelatency",
+              "max frames in flight under -novsync (SetMaximumFrameLatency)",
+              set_attr("max_frame_latency"))
 
     def unlink_and_set(name):
         def h(v):
@@ -139,7 +142,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         height=extra.get("height", RenderConfig.height),
     )
     steps = extra.get("steps", 600)
-    profile_every = extra.get("profile_every", 30 if app_cfg.gui else 0)
+    # Default stage timing is the non-stalling AsyncStageProbe (gui runs);
+    # -profileevery opts into precise hard-sync windows instead.
+    profile_every = extra.get("profile_every", 0)
 
     particles = ParticlesApp(
         app_cfg,

@@ -93,6 +93,10 @@ class AppConfig:
 
     gui: bool = True
     vsync: bool = True
+    # -novsync dispatch-ahead bound: at most this many frames in flight
+    # before the host blocks on the oldest (the latency-waitable swapchain's
+    # SetMaximumFrameLatency, `Render.cpp:298-308`).
+    max_frame_latency: int = 2
     fullscreen: bool = False
     # The Intel command-queue throttle extension analog: request
     # max-performance scheduling for the compute role (ExtensionHelper.h:138).

@@ -1,0 +1,186 @@
+"""Per-stage device timing from windowed XLA profiler traces.
+
+The reference's `D3D12GpuTimer` (`include/D3D12GpuTimer.h:117-160`) writes
+timestamp-query pairs around each stage on the GPU queue and resolves them
+to a readback buffer — per-stage times from the DEVICE clock, with zero
+pipeline stalls. The TPU-native equivalent of the device clock is the XLA
+profiler: its device plane records the exact on-device start/duration of
+every executed module (`jit_step`, `jit__render`, ...), so per-stage time
+falls out of a short trace window without ever synchronizing the host.
+
+Marker-based host observation cannot do this job here: completion
+visibility over a tunneled transport is quantized to whole dispatch
+batches (measured: stage markers resolve at frame granularity), and JAX
+exposes no user-visible device timestamps. The profiler plane is the only
+device-clock surface — and it is *better* than timestamp queries: every
+module instance is timed, not just the two bracketing stamps.
+
+Mechanics: every `window_every` frames the timer traces `window_frames`
+frames into a temp dir, then parses the xplane in a background thread.
+Stage time per frame = sum of matching module durations / number of
+executions (count-normalization makes window edges harmless — a module's
+event is attributed whether or not the host dispatched it inside the
+window). Results land on the usual "simulate ms" / "render ms"
+`StageTimer` rows with the reference's EMA(1/20) smoothing
+(`D3D12GpuTimer.h:133-160` GetTimes averaging).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+from multi_adapter_particles_tpu.utils.metrics import MetricsRegistry
+
+# module-name substring -> stage row. The jitted callables are named by
+# their Python function: integrator/sharded steps are `step`/`sharded_step`
+# variants; the splatter's program is `_render`; the fused frame is `fused`.
+DEFAULT_STAGE_PATTERNS: Dict[str, Tuple[str, ...]] = {
+    "simulate": ("step",),
+    "render": ("_render",),
+    "frame": ("fused",),
+}
+
+
+def parse_stage_ms(
+    profile_data,
+    stage_patterns: Dict[str, Tuple[str, ...]] = DEFAULT_STAGE_PATTERNS,
+) -> Dict[str, float]:
+    """Per-frame stage milliseconds from a ProfileData xspace.
+
+    Walks every `XLA Modules` line of every device plane; for each stage,
+    sums the durations of modules whose name contains any pattern and
+    divides by the execution count (a module runs once per frame).
+    """
+    totals: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+    for plane in profile_data.planes:
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            for event in line.events:
+                name = event.name
+                for stage, patterns in stage_patterns.items():
+                    if any(p in name for p in patterns):
+                        dur_ns = getattr(event, "duration_ns", None)
+                        if dur_ns is None:
+                            continue
+                        totals[stage] = totals.get(stage, 0.0) + dur_ns
+                        counts[stage] = counts.get(stage, 0) + 1
+                        break
+    return {
+        stage: (totals[stage] / counts[stage]) / 1e6
+        for stage in totals
+        if counts.get(stage)
+    }
+
+
+class ProfilerStageTimer:
+    """Windowed device-plane stage timing (the D3D12GpuTimer role)."""
+
+    def __init__(
+        self,
+        metrics: Optional[MetricsRegistry] = None,
+        stage_patterns: Optional[Dict[str, Tuple[str, ...]]] = None,
+        window_every: int = 64,
+        window_frames: int = 4,
+    ):
+        self.metrics = metrics or MetricsRegistry()
+        self.stage_patterns = stage_patterns or dict(DEFAULT_STAGE_PATTERNS)
+        self.window_every = max(int(window_every), int(window_frames) + 1)
+        self.window_frames = max(1, int(window_frames))
+        self._active_since: Optional[int] = None
+        self._log_dir: Optional[str] = None
+        self._parsers: list = []
+        self._disabled = False
+        self.windows_parsed = 0
+
+    # -- frame hook (call once at the top of every frame) --------------------
+    def on_frame(self, frame_count: int) -> None:
+        if self._disabled:
+            return
+        if self._active_since is not None:
+            if frame_count - self._active_since >= self.window_frames:
+                self._stop_and_parse()
+            return
+        # Trigger on the LAST window_frames of each window period so the
+        # first trace (frame window_every - window_frames) is post-compile.
+        if (
+            frame_count % self.window_every
+            == self.window_every - self.window_frames
+        ):
+            self._start(frame_count)
+
+    def _start(self, frame_count: int) -> None:
+        import jax
+
+        self._log_dir = tempfile.mkdtemp(prefix="map_tpu_gputimer_")
+        try:
+            try:
+                # only the device planes matter: skip python/host tracing
+                opts = jax.profiler.ProfileOptions()
+                opts.python_tracer_level = 0
+                opts.host_tracer_level = 0
+                jax.profiler.start_trace(self._log_dir, profiler_options=opts)
+            except TypeError:  # older start_trace signature
+                jax.profiler.start_trace(self._log_dir)
+        except Exception:
+            # another trace is active (e.g. the CLI -trace flag) or the
+            # backend can't profile: stand down for the whole run
+            self._disabled = True
+            shutil.rmtree(self._log_dir, ignore_errors=True)
+            self._log_dir = None
+            return
+        self._active_since = frame_count
+
+    def _stop_and_parse(self) -> None:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            self._disabled = True
+            return
+        finally:
+            self._active_since = None
+        log_dir, self._log_dir = self._log_dir, None
+        t = threading.Thread(
+            target=self._parse, args=(log_dir,), daemon=True,
+            name="gputimer-parse",
+        )
+        t.start()
+        self._parsers.append(t)
+
+    def _parse(self, log_dir: str) -> None:
+        try:
+            from jax.profiler import ProfileData
+
+            paths = glob.glob(
+                os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
+            )
+            if not paths:
+                return
+            stage_ms = parse_stage_ms(
+                ProfileData.from_file(paths[0]), self.stage_patterns
+            )
+            for stage, ms in stage_ms.items():
+                self.metrics.stage(stage).add_sample(ms / 1e3)
+            if stage_ms:
+                self.windows_parsed += 1
+        finally:
+            shutil.rmtree(log_dir, ignore_errors=True)
+
+    def flush(self) -> None:
+        """Finish any open window and wait for pending parses."""
+        if self._active_since is not None:
+            self._stop_and_parse()
+        for t in self._parsers:
+            t.join(timeout=30.0)
+        self._parsers = [t for t in self._parsers if t.is_alive()]
+
+    def close(self) -> None:
+        self.flush()

@@ -43,6 +43,7 @@ class ParticlesApp:
         mesh_devices: int = 0,
         debug: bool = False,
         fused: bool = False,
+        async_timers: Optional[bool] = None,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many
         devices (sharded sim + ring force exchange) — the multi-adapter
@@ -59,9 +60,30 @@ class ParticlesApp:
         self.seed = seed
         # SPACE-toggle analog (`Main-Particles.cpp:83-88`).
         self.draw_enabled = draw_enabled
-        # Every K frames, time sim/render with a hard sync (the
-        # timestamp-query readback analog); 0 = never.
+        # Every K frames, time sim/render with a hard sync (precise but
+        # pipeline-perturbing); 0 = never. The non-stalling default timing
+        # path is the AsyncStageProbe below.
         self.profile_every = profile_every
+        # Bounded dispatch-ahead for -novsync (SetMaximumFrameLatency
+        # analog, Render.cpp:298-308): at most `max_frame_latency` frames
+        # in flight, enforced by blocking on the oldest frame's marker.
+        from multi_adapter_particles_tpu.runtime.gputimer import (
+            ProfilerStageTimer,
+        )
+        from multi_adapter_particles_tpu.runtime.pacing import (
+            FrameLatencyQueue,
+        )
+
+        self.pacing = FrameLatencyQueue(self.app.max_frame_latency)
+        # Non-stalling per-stage device timing (D3D12GpuTimer analog):
+        # windowed XLA-profiler traces, parsed off-thread. Default: on when
+        # the GUI overlay shows timer rows; off in debug mode (quiet
+        # pipeline) and for -nogui throughput runs.
+        if async_timers is None:
+            async_timers = self.app.gui and not debug
+        self.stage_timer = (
+            ProfilerStageTimer(self.metrics) if async_timers else None
+        )
 
         self.adapters: List[devmod.AdapterInfo] = devmod.enumerate_adapters()
         compute_ad, render_ad = devmod.assign_adapters(
@@ -198,6 +220,10 @@ class ParticlesApp:
         """One frame: draw N, simulate N+1, present (`Particles.cpp:432-456`)."""
         self.metrics.frame_tick()
         num_sim, num_copy, num_draw = self.app.resolved_counts()
+        if self.stage_timer is not None:
+            # device-clock stage timing: trace a short window of frames
+            # every so often, resolved off-thread (no pipeline stalls)
+            self.stage_timer.on_frame(self.frame_count)
 
         if self.fused_engine is not None:
             eng = self.fused_engine
@@ -211,8 +237,11 @@ class ParticlesApp:
                 # shape is fixed; XLA DCEs most of the render work)
                 num_draw=num_draw if self.draw_enabled else 0,
             )
-            if self._should_present():
+            if self.app.vsync and self.draw_enabled:
                 eng.present()  # the single host block per frame
+            else:
+                # dispatch-ahead with bounded in-flight depth
+                self.pacing.push(eng.positions)
             self._display_positions = eng.positions
             self.frame_count += 1
             self._handle_reconfiguration()
@@ -255,9 +284,19 @@ class ParticlesApp:
 
         self._display_positions = self.compute.positions
 
-        if self.draw_enabled and not profile and self._should_present():
-            # present: the only host block per frame (Particles.cpp:452-456)
-            self.render.present()
+        if not profile:
+            if self.app.vsync and self.draw_enabled:
+                # present: the only host block per frame (Particles.cpp:452-456)
+                self.render.present()
+            else:
+                # -novsync (or draw-off): dispatch ahead, bounded to
+                # max_frame_latency in-flight frames by the latency queue
+                src = (
+                    self.render.last_frame
+                    if self.draw_enabled and self.render.last_frame is not None
+                    else self._display_positions
+                )
+                self.pacing.push(src)
 
         if self.debug:
             from multi_adapter_particles_tpu.utils import debug as dbg
@@ -272,15 +311,6 @@ class ParticlesApp:
 
         self.frame_count += 1
         self._handle_reconfiguration()
-
-    def _should_present(self) -> bool:
-        """vsync on: block every frame (the latency-waitable swapchain).
-        vsync off ("tearing allowed"): dispatch ahead, syncing only every
-        8th frame to bound the in-flight queue — the -novsync throughput
-        mode."""
-        if self.app.vsync or not self.draw_enabled:
-            return self.draw_enabled
-        return self.frame_count % 8 == 7
 
     # -- live reconfiguration (`Particles.cpp:458-537`) ---------------------------
     def set_compute_adapter(self, index: int) -> None:
@@ -387,5 +417,8 @@ class ParticlesApp:
 
     def shutdown(self) -> None:
         """Drain everything (`~Particles`, Particles.cpp:174-185)."""
+        self.pacing.close()
+        if self.stage_timer is not None:
+            self.stage_timer.close()
         self.render.wait_for_gpu()
         self.compute.wait_for_gpu()

@@ -1,0 +1,206 @@
+"""Frame-latency queue + non-stalling stage probe (runtime/pacing.py).
+
+The reference bounds dispatch-ahead with a latency-waitable swap chain
+(`Render.cpp:298-308,763-767`) and times stages with timestamp queries
+resolved a frame later with zero stalls (`D3D12GpuTimer.h:117-160`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_adapter_particles_tpu.config import AppConfig, RenderConfig, SimConfig
+from multi_adapter_particles_tpu.runtime import ParticlesApp
+from multi_adapter_particles_tpu.runtime.gputimer import (
+    ProfilerStageTimer,
+    parse_stage_ms,
+)
+from multi_adapter_particles_tpu.runtime.pacing import (
+    FrameLatencyQueue,
+    fence_marker,
+)
+from multi_adapter_particles_tpu.utils.metrics import MetricsRegistry
+
+N = 512
+SMALL_RENDER = RenderConfig(width=256, height=256)
+
+
+def make_app(**kw):
+    app_cfg = kw.pop("app_cfg", None) or AppConfig(
+        num_particles=N, particle_size=10.0, vsync=False
+    )
+    return ParticlesApp(
+        app_cfg, SimConfig(num_particles=N), SMALL_RENDER, **kw
+    )
+
+
+class TestFrameLatencyQueue:
+    def test_depth_never_exceeds_max(self):
+        q = FrameLatencyQueue(max_latency=2)
+        x = jnp.ones((8, 128))
+        for _ in range(10):
+            q.push(x * 2.0)
+            assert len(q) <= 2
+        q.drain()
+        assert len(q) == 0
+
+    def test_marker_survives_donation(self):
+        """The marker is sliced at push time, so donating the source buffer
+        afterwards must not break the later block."""
+
+        @jax.jit
+        def step(a):
+            return a + 1.0
+
+        donating = jax.jit(lambda a: a * 2.0, donate_argnums=(0,))
+        q = FrameLatencyQueue(max_latency=1)
+        a = jnp.ones((8, 128))
+        b = step(a)
+        q.push(b)
+        _ = donating(b)  # b retired
+        q.push(step(a))  # forces a block on b's marker
+        q.drain()
+
+    def test_orchestrator_novsync_bounded(self):
+        app = make_app()
+        for _ in range(12):
+            app.draw()
+            assert len(app.pacing) <= app.app.max_frame_latency
+        app.shutdown()
+        assert len(app.pacing) == 0
+
+    def test_nodraw_also_bounded(self):
+        app = make_app(draw_enabled=False)
+        for _ in range(8):
+            app.draw()
+            assert len(app.pacing) <= 2
+        app.shutdown()
+
+    def test_fused_novsync_bounded(self):
+        app = make_app(fused=True)
+        for _ in range(8):
+            app.draw()
+            assert len(app.pacing) <= 2
+        app.shutdown()
+
+    def test_custom_latency_flag(self):
+        cfg = AppConfig(
+            num_particles=N, particle_size=10.0, vsync=False,
+            max_frame_latency=1,
+        )
+        app = make_app(app_cfg=cfg)
+        for _ in range(5):
+            app.draw()
+            assert len(app.pacing) <= 1
+        app.shutdown()
+
+
+_XSPACE_TEXT = """
+planes {
+  name: "/device:TPU:0"
+  lines {
+    id: 1
+    name: "XLA Modules"
+    events { metadata_id: 1 offset_ps: 0 duration_ps: 358000000000 }
+    events { metadata_id: 1 offset_ps: 400000000000 duration_ps: 360000000000 }
+    events { metadata_id: 2 offset_ps: 360000000000 duration_ps: 21000000000 }
+    events { metadata_id: 3 offset_ps: 390000000000 duration_ps: 9000000000 }
+  }
+  lines {
+    id: 2
+    name: "XLA Ops"
+    events { metadata_id: 1 offset_ps: 0 duration_ps: 999000000000 }
+  }
+  event_metadata { key: 1 value { id: 1 name: "jit_step(161025137415)" } }
+  event_metadata { key: 2 value { id: 2 name: "jit__render(303387704987)" } }
+  event_metadata { key: 3 value { id: 3 name: "jit_unrelated(42)" } }
+}
+"""
+
+
+class TestProfilerStageTimer:
+    def test_parse_stage_ms_from_device_plane(self):
+        """Module durations map onto stage rows, count-normalized per
+        execution; op-line and unrelated modules are ignored."""
+        from jax.profiler import ProfileData
+
+        ms = parse_stage_ms(ProfileData.from_text_proto(_XSPACE_TEXT))
+        assert ms["simulate"] == pytest.approx(359.0)  # (358 + 360) / 2
+        assert ms["render"] == pytest.approx(21.0)
+        assert "frame" not in ms  # no fused module in the trace
+
+    def test_window_state_machine(self, monkeypatch):
+        """Windows open on schedule and parsed samples land on the rows."""
+        m = MetricsRegistry()
+        t = ProfilerStageTimer(m, window_every=8, window_frames=2)
+        calls = []
+        monkeypatch.setattr(
+            "jax.profiler.start_trace", lambda d: calls.append(("start", d))
+        )
+        monkeypatch.setattr(
+            "jax.profiler.stop_trace", lambda: calls.append(("stop",))
+        )
+
+        def fake_parse(log_dir):
+            m.stage("simulate").add_sample(0.123)
+            t.windows_parsed += 1
+
+        monkeypatch.setattr(t, "_parse", fake_parse)
+        for f in range(20):
+            t.on_frame(f)
+        t.flush()
+        # trigger frames: 6 and 14 (window_every - window_frames mod 8)
+        assert [c[0] for c in calls] == ["start", "stop", "start", "stop"]
+        assert t.windows_parsed == 2
+        assert m.stages["simulate"].milliseconds == pytest.approx(123.0)
+
+    def test_conflicting_trace_disables_gracefully(self, monkeypatch):
+        def boom(d):
+            raise RuntimeError("trace already active")
+
+        monkeypatch.setattr("jax.profiler.start_trace", boom)
+        t = ProfilerStageTimer(MetricsRegistry(), window_every=4,
+                               window_frames=1)
+        for f in range(10):
+            t.on_frame(f)
+        assert t._disabled
+        t.close()
+
+    def test_orchestrator_runs_with_stage_timer(self):
+        """End-to-end on the CPU backend: windows open/close without
+        breaking the frame loop (CPU xplanes carry no XLA Modules line, so
+        rows may stay empty — the machinery must still be harmless)."""
+        app = make_app(async_timers=True)
+        assert app.stage_timer is not None
+        app.stage_timer.window_every = 6
+        app.stage_timer.window_frames = 2
+        for _ in range(14):
+            app.draw()
+        app.shutdown()
+        assert not app.stage_timer._disabled
+
+    def test_trajectory_unchanged_by_instrumentation(self):
+        """Pacing + probes are pure observers: bitwise-identical states."""
+        a = make_app(async_timers=True)
+        b = make_app(async_timers=False)
+        for _ in range(4):
+            a.draw()
+            b.draw()
+        a.compute.wait_for_gpu()
+        b.compute.wait_for_gpu()
+        np.testing.assert_array_equal(
+            np.asarray(a.compute.positions), np.asarray(b.compute.positions)
+        )
+        a.shutdown()
+        b.shutdown()
+
+    def test_debug_mode_disables_timer_by_default(self):
+        app = make_app(debug=True)
+        assert app.stage_timer is None
+        app.shutdown()
+
+
+def test_fence_marker_shape():
+    assert fence_marker(jnp.ones((4, 8, 16))).shape == (1, 1, 1)
+    assert fence_marker(jnp.ones((7,))).shape == (1,)

@@ -94,6 +94,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                lambda: extra.__setitem__("list_adapters", True))
     p.add_str("dashboard", "write a live HTML dashboard to this path",
               lambda v: extra.__setitem__("dashboard", v))
+    p.add_int("serve", "serve the LIVE bidirectional dashboard on this "
+              "port (0 = pick one); widgets drive the app like the GUI",
+              lambda v: extra.__setitem__("serve", v))
     p.add_str("checkpoint", "write a state checkpoint here at exit (.npz)",
               lambda v: extra.__setitem__("checkpoint", v))
     p.add_int("checkpointevery", "also checkpoint every K frames",
@@ -178,7 +181,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ckpt_every = extra.get("checkpoint_every", 0)
 
+    server = None
+    if "serve" in extra:
+        from multi_adapter_particles_tpu.utils.dashboard import DashboardServer
+
+        server = DashboardServer(particles, port=extra["serve"])
+        print(f"dashboard: http://127.0.0.1:{server.port}/", flush=True)
+
     def overlay(p: ParticlesApp):
+        if server is not None:
+            server.drain()
         if app_cfg.gui and p.frame_count % 30 == 0:
             print(f"--- frame {p.frame_count} ---")
             print(p.metrics.render_text())
@@ -221,18 +233,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                         break
                     if inp.toggle_draw:
                         particles.draw_enabled = not particles.draw_enabled
-                    # live reconfiguration keys (the GUI list-box analog):
-                    # c/r cycle the compute/render adapter
-                    nad = len(particles.adapters)
+                    # the full control panel on keys (runtime/controls.py):
+                    # adapters, size/intensity, counts + link, toggles
+                    from multi_adapter_particles_tpu.runtime.controls import (
+                        apply_key,
+                    )
+
                     for key in inp.pressed:
-                        if key == "c" and nad > 1:
-                            particles.set_compute_adapter(
-                                (particles.compute_adapter.index + 1) % nad
-                            )
-                        elif key == "r" and nad > 1:
-                            particles.set_render_adapter(
-                                (particles.render_adapter.index + 1) % nad
-                            )
+                        msg = apply_key(particles, key)
+                        if msg and app_cfg.gui:
+                            print(msg)
                     for key in inp.pressed:
                         particles.render.camera.key_down(key)
                     particles.draw()
@@ -253,6 +263,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         pass
     finally:
         ctx.close()
+        if server is not None:
+            server.close()
     particles.shutdown()
 
     print(particles.metrics.render_text())

@@ -104,9 +104,18 @@ class AppConfig:
     use_queue_extension: bool = True
 
     def resolved_counts(self) -> Tuple[int, int, int]:
-        """(num_sim, num_copy, num_draw) with link semantics applied."""
+        """(num_sim, num_copy, num_draw) with link semantics applied.
+
+        Linked mode tracks the Rendered slider (`Particles.cpp:388-392`:
+        copied and simulated counts snap to the rendered count while the
+        link checkbox is on); an unset rendered count means everything.
+        """
         if self.linked:
-            n = self.num_particles
+            n = (
+                min(self.num_draw, self.num_particles)
+                if self.num_draw is not None
+                else self.num_particles
+            )
             return n, n, n
         n = self.num_particles
         return (

@@ -102,7 +102,9 @@ class TerminalInput:
                 self.state.toggle_draw = True
             elif ch in ("q", "\x03"):  # q / ctrl-c
                 self.state.quit = True
-            elif ch.lower() in "wasdcr":  # fly keys + adapter-cycle keys
+            elif ch.lower() in "wasdcrvefl" or ch in "[]-=123456":
+                # fly keys, adapter-cycle keys, and the control-panel keys
+                # (size/intensity/counts/toggles — see runtime/controls.py)
                 self.state.pressed.append(ch.lower())
             i += 1
         return self.state

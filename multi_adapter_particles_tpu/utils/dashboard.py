@@ -11,14 +11,25 @@ sliders, and live timers. Headless, the same surface is:
   rendered frame inlined as a base64 PNG (refreshed by the app every few
   frames; open it in a browser for the closest thing to the demo window).
 
-Mutation happens through AppConfig / ParticlesApp setters (the CLI and any
-driving script are the "widgets"); this module only *displays* state.
+Mutation goes through the control registry (`runtime/controls.py`):
+
+- `DashboardServer` — a small HTTP server making the HTML surface
+  BIDIRECTIONAL: it serves the live panel with real sliders/checkboxes/
+  list boxes for every reference widget (`Particles.cpp:339-394`); widget
+  changes arrive as `/set?name=..&value=..` requests, are queued
+  thread-safely, and the frame loop applies them on the main thread via
+  `drain()` — the imgui "widgets write members, the frame loop reacts"
+  contract, with the browser standing in for the in-window panel.
 """
 
 from __future__ import annotations
 
 import base64
 import html
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 ANSI_HOME = "\x1b[H\x1b[2J"
 
@@ -111,3 +122,174 @@ def write_html(app, path: str, frame=None) -> None:
 <pre>{text}</pre>{img_tag}</body>"""
     with open(path, "w") as f:
         f.write(page)
+
+
+# -- bidirectional HTTP dashboard ------------------------------------------------
+
+
+def _frame_png_bytes(frame) -> bytes:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from multi_adapter_particles_tpu.utils.png import write_png
+
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        tmp = f.name
+    try:
+        write_png(tmp, np.asarray(frame))
+        return open(tmp, "rb").read()
+    finally:
+        os.unlink(tmp)
+
+
+def _widget_html(spec: dict) -> str:
+    name = spec["name"]
+    kind = spec["kind"]
+    send = (
+        "fetch('/set?name=%s&value='+encodeURIComponent(v))" % name
+    )
+    if kind == "checkbox":
+        checked = "checked" if spec["value"] else ""
+        return (
+            f"<label><input type=checkbox {checked} "
+            f"onchange=\"var v=this.checked?1:0;{send}\"> {name}</label>"
+        )
+    if kind == "select":
+        opts = "".join(
+            f"<option value={i} {'selected' if i == spec['value'] else ''}>"
+            f"{html.escape(o)}</option>"
+            for i, o in enumerate(spec["options"])
+        )
+        return (
+            f"<label>{name} <select onchange=\"var v=this.value;{send}\">"
+            f"{opts}</select></label>"
+        )
+    # slider
+    return (
+        f"<label>{name} <input type=range min={spec['lo']} max={spec['hi']} "
+        f"step={spec['step']} value={spec['value']} "
+        f"oninput=\"this.nextElementSibling.textContent=this.value\" "
+        f"onchange=\"var v=this.value;{send}\">"
+        f"<span>{spec['value']}</span></label>"
+    )
+
+
+class DashboardServer:
+    """Live bidirectional dashboard (the imgui panel over HTTP).
+
+    Thread contract: the HTTP threads only READ `particles` state (the
+    panel text and widget specs — same tearing risk as any overlay) and
+    append `(name, value)` pairs to a lock-guarded queue; all MUTATION
+    happens on the frame loop's thread via `drain()`.
+    """
+
+    def __init__(self, particles, port: int = 0, host: str = "127.0.0.1"):
+        self.particles = particles
+        self._pending = []
+        self._lock = threading.Lock()
+        self.messages = []
+
+        dash = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, body: bytes, ctype: str, code: int = 200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                if url.path == "/":
+                    self._send(dash.index_html().encode(), "text/html")
+                elif url.path == "/state":
+                    self._send(dash.state_json().encode(), "application/json")
+                elif url.path == "/frame.png":
+                    frame = getattr(dash.particles.render, "last_frame", None)
+                    if frame is None:
+                        self._send(b"no frame yet", "text/plain", 404)
+                    else:
+                        self._send(_frame_png_bytes(frame), "image/png")
+                elif url.path == "/set":
+                    q = urllib.parse.parse_qs(url.query)
+                    name = (q.get("name") or [""])[0]
+                    value = (q.get("value") or [""])[0]
+                    with dash._lock:
+                        dash._pending.append((name, value))
+                    self._send(b"ok", "text/plain")
+                else:
+                    self._send(b"not found", "text/plain", 404)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="dashboard-http",
+            daemon=True,
+        )
+        self._thread.start()
+
+    # -- pages ---------------------------------------------------------------
+    def index_html(self) -> str:
+        from multi_adapter_particles_tpu.runtime.controls import control_specs
+
+        widgets = "<br>".join(
+            _widget_html(s) for s in control_specs(self.particles)
+        )
+        text = html.escape(render_ansi(self.particles, clear=False))
+        return f"""<!doctype html><meta charset="utf-8">
+<title>multi-adapter particles (TPU)</title>
+<body style="background:#000;color:#ddd;font-family:monospace">
+<div style="display:flex;gap:24px">
+<div><pre id=panel>{text}</pre>
+<img id=frame src="/frame.png" width=512
+     style="image-rendering:pixelated" onerror="this.style.display='none'">
+</div>
+<div style="min-width:320px"><h3>controls</h3>{widgets}</div>
+</div>
+<script>
+setInterval(() => {{
+  fetch('/state').then(r => r.json()).then(s => {{
+    document.getElementById('panel').textContent = s.panel;
+    document.getElementById('frame').src = '/frame.png?' + Date.now();
+  }});
+}}, 1000);
+</script></body>"""
+
+    def state_json(self) -> str:
+        from multi_adapter_particles_tpu.runtime.controls import control_specs
+
+        return json.dumps(
+            {
+                "panel": render_ansi(self.particles, clear=False),
+                "controls": control_specs(self.particles),
+                "metrics": self.particles.metrics.as_dict(),
+            },
+            default=str,
+        )
+
+    # -- frame-loop side -------------------------------------------------------
+    def drain(self) -> int:
+        """Apply queued widget changes on the caller's (main) thread."""
+        from multi_adapter_particles_tpu.runtime.controls import apply_control
+
+        with self._lock:
+            pending, self._pending = self._pending, []
+        applied = 0
+        for name, value in pending:
+            try:
+                self.messages.append(apply_control(self.particles, name, value))
+                applied += 1
+            except (KeyError, ValueError) as e:
+                self.messages.append(f"control error: {e}")
+        return applied
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10.0)

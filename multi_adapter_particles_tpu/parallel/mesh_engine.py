@@ -35,12 +35,14 @@ class MeshComputeEngine:
         seed: int = 0,
         use_pallas: Optional[bool] = None,
         donate: bool = True,
+        bit_stable: Optional[bool] = None,
     ):
         self.config = sim_config
         self.mesh = mesh
         self.metrics = metrics or MetricsRegistry()
         self._step = shmod.make_sharded_step(
-            sim_config, mesh, use_pallas=use_pallas, donate=donate
+            sim_config, mesh, use_pallas=use_pallas, donate=donate,
+            bit_stable=bit_stable,
         )
         self.step_count = 0
 

@@ -76,6 +76,7 @@ def make_sharded_step(
     mesh: Mesh,
     use_pallas: Optional[bool] = None,
     donate: bool = True,
+    bit_stable: Optional[bool] = None,
 ) -> Callable[[ParticleState], ParticleState]:
     """Build the jitted multi-chip `state -> state` step.
 
@@ -83,6 +84,26 @@ def make_sharded_step(
     count must divide by the mesh size. Padding particles are parked at 1e9
     (forces on/from them are ~0, see ops/allpairs.py docstring), so shards
     need no mask exchange.
+
+    `bit_stable` (all-pairs only; default True) chooses the source-exchange
+    schedule:
+
+    - True: all-gather the positions, then run the SAME force kernel and
+      tiling as single-chip against the full [4, N] source set. Every
+      device reduces sources in identical global order, so trajectories
+      are BITWISE identical across any mesh size — including 1 — and
+      across live re-sharding (SURVEY §7 hard part 5: "bit-stable
+      trajectories across re-sharding"). The gather costs O(N) bytes of
+      ICI up front, negligible next to the O(N²/D) force math at any size
+      this model runs (@1M: ~0.5 ms of ICI vs ~46 ms of compute per
+      8-shard step).
+    - False: the rotating ppermute ring (the copy-queue-overlap analog,
+      `Render.cpp:789-831`): blocks stream neighbor-to-neighbor with the
+      transfer hidden behind each stage's force math. Accumulation order
+      then depends on the device count (ring reassociation), so
+      trajectories across different mesh sizes agree only to fp32
+      tolerance. Worth it only when per-stage transfer is comparable to
+      per-stage compute (bandwidth-bound force models).
     """
     ndev = mesh.devices.size
     multislice = OUTER_AXIS in mesh.axis_names
@@ -95,9 +116,23 @@ def make_sharded_step(
     # NOTE: Pallas j-tiles are 128-aligned DMA lane slices; a shard narrower
     # than 128 has no valid tiling and ops.dispatch.pick_tile raises a clear
     # error at trace time (pass use_pallas=False for such tiny shards).
+    if bit_stable is None:
+        bit_stable = True
     partial_accel = _partial_accel_fn(cfg, use_pallas)
     inner_perm = [(i, (i + 1) % n_inner) for i in range(n_inner)]
     outer_perm = [(i, (i + 1) % n_outer) for i in range(n_outer)]
+
+    def gathered_sources(position):
+        """Full [4, N] source set in global particle order on every device:
+        inner (ICI) gather concatenates the shards of this slice, the outer
+        (DCN) gather concatenates slices — matching the slice-major layout
+        of `particle_sharding`."""
+        src = position
+        if n_inner > 1:
+            src = jax.lax.all_gather(src, AXIS, axis=1, tiled=True)
+        if multislice and n_outer > 1:
+            src = jax.lax.all_gather(src, OUTER_AXIS, axis=1, tiled=True)
+        return src
 
     def ring_cycle(position, acc, block, final: bool):
         """One full inner-ring cycle: consume n_inner blocks, rotating over
@@ -148,6 +183,11 @@ def make_sharded_step(
             )
         elif cfg.force_model == "pm_grid":
             accel = pm_accel_sharded(position)
+        elif bit_stable:
+            # Bit-stable schedule: same kernel, same source order, same
+            # tiling as single-chip — trajectories identical across mesh
+            # sizes to the last bit.
+            accel = partial_accel(position, gathered_sources(position))
         else:
             # Hierarchical ring (single-slice: plain ring): each outer
             # stage rotates the working block set one slice over DCN, and

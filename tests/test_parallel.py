@@ -60,7 +60,7 @@ class TestRingAllPairs:
         ref = _ref_step(cfg)(state)
 
         sstate = shard_state(pinit.initialize_particles_device(N, seed=3), mesh)
-        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        out = make_sharded_step(cfg, mesh, donate=False, bit_stable=False)(sstate)
         # ring accumulation order differs from the single-pass sum -> fp32
         # reassociation tolerance
         np.testing.assert_allclose(
@@ -78,7 +78,7 @@ class TestRingAllPairs:
         ref_state = pinit.initialize_particles_device(N, seed=1)
         step_ref = _ref_step(cfg)
         sstate = shard_state(pinit.initialize_particles_device(N, seed=1), mesh)
-        step_sh = make_sharded_step(cfg, mesh, donate=False)
+        step_sh = make_sharded_step(cfg, mesh, donate=False, bit_stable=False)
         for _ in range(5):
             ref_state = step_ref(ref_state)
             sstate = step_sh(sstate)
@@ -92,7 +92,7 @@ class TestRingAllPairs:
         cfg = SimConfig(num_particles=N, force_model="all_pairs")
         sstate = shard_state(pinit.initialize_particles_device(N, seed=2), mesh)
         before = np.asarray(sstate.position)
-        out = make_sharded_step(cfg, mesh, donate=False)(sstate, 256)
+        out = make_sharded_step(cfg, mesh, donate=False, bit_stable=False)(sstate, 256)
         after = np.asarray(out.position)
         assert not np.array_equal(before[:, :256], after[:, :256])
         np.testing.assert_array_equal(before[:, 256:], after[:, 256:])
@@ -236,7 +236,7 @@ class TestMultiSlice:
         ref = _ref_step(cfg)(pinit.initialize_particles_device(N, seed=3))
 
         sstate = shard_state(pinit.initialize_particles_device(N, seed=3), mesh)
-        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        out = make_sharded_step(cfg, mesh, donate=False, bit_stable=False)(sstate)
         np.testing.assert_allclose(
             np.asarray(out.position), np.asarray(ref.position),
             rtol=1e-4, atol=1e-3,
@@ -283,6 +283,87 @@ class TestMultiSlice:
         eng.simulate()
         eng.wait_for_gpu()
         assert np.isfinite(np.asarray(eng.positions)).all()
+
+
+class TestBitStableTrajectories:
+    """SURVEY §7 hard part 5: bit-stable trajectories across re-sharding.
+
+    The default all-pairs schedule (bit_stable=True) reduces sources in
+    identical global order on every device, so runs on ANY mesh size —
+    including a single device — produce the same bits.
+    """
+
+    def test_bitwise_across_mesh_sizes(self, eight_devices):
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        ref_state = pinit.initialize_particles_device(N, seed=11)
+        step_ref = _ref_step(cfg)
+        for _ in range(5):
+            ref_state = step_ref(ref_state)
+        ref_pos = np.asarray(ref_state.position)
+        ref_vel = np.asarray(ref_state.velocity)
+
+        for ndev in (1, 2, 4, 8):
+            mesh = make_mesh(eight_devices[:ndev])
+            sstate = shard_state(
+                pinit.initialize_particles_device(N, seed=11), mesh
+            )
+            step = make_sharded_step(cfg, mesh, donate=False)
+            for _ in range(5):
+                sstate = step(sstate)
+            np.testing.assert_array_equal(
+                np.asarray(sstate.position), ref_pos,
+                err_msg=f"positions diverge at mesh size {ndev}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sstate.velocity), ref_vel,
+                err_msg=f"velocities diverge at mesh size {ndev}",
+            )
+
+    def test_bitwise_multislice_vs_flat(self, eight_devices):
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        flat = make_mesh(eight_devices[:4])
+        twod = make_multislice_mesh(2, eight_devices[:4])
+        a = shard_state(pinit.initialize_particles_device(N, seed=12), flat)
+        b = shard_state(pinit.initialize_particles_device(N, seed=12), twod)
+        step_a = make_sharded_step(cfg, flat, donate=False)
+        step_b = make_sharded_step(cfg, twod, donate=False)
+        for _ in range(3):
+            a = step_a(a)
+            b = step_b(b)
+        np.testing.assert_array_equal(
+            np.asarray(a.position), np.asarray(b.position)
+        )
+
+    def test_bitwise_across_live_rescale(self, eight_devices):
+        """Stepping THROUGH a mesh rescale produces the same bits as an
+        uninterrupted run (the CopyState guarantee, exact)."""
+        cfg = SimConfig(num_particles=N, force_model="all_pairs")
+        mesh2 = make_mesh(eight_devices[:2])
+        mesh8 = make_mesh(eight_devices)
+        ref = shard_state(pinit.initialize_particles_device(N, seed=13), mesh2)
+        step2 = make_sharded_step(cfg, mesh2, donate=False)
+        step8 = make_sharded_step(cfg, mesh8, donate=False)
+        for _ in range(4):
+            ref = step2(ref)
+
+        state = shard_state(
+            pinit.initialize_particles_device(N, seed=13), mesh2
+        )
+        state = step2(state)
+        state = step2(state)
+        state = reshard_state(state, mesh8)
+        state = step8(state)
+        state = step8(state)
+        np.testing.assert_array_equal(
+            np.asarray(state.position), np.asarray(ref.position)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.velocity), np.asarray(ref.velocity)
+        )
 
 
 class TestBootstrap:

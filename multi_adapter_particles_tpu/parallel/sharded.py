@@ -241,5 +241,15 @@ def make_sharded_step(
 
 
 def gather_positions(state: ParticleState, device: jax.Device) -> jax.Array:
-    """All shards -> one device (the render feed / copy-queue analog)."""
-    return jax.device_put(state.position, device)
+    """All shards -> one device (the render feed / copy-queue analog).
+
+    On a multi-process (pod) run the state spans non-addressable devices;
+    the feed then goes through a cross-host allgather first (every process
+    pays the DCN gather; only the primary renders — `bootstrap.is_primary`).
+    """
+    pos = state.position
+    if not pos.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        pos = multihost_utils.process_allgather(pos, tiled=True)
+    return jax.device_put(pos, device)

@@ -1,0 +1,78 @@
+"""Worker process for the jax.distributed bootstrap test.
+
+Usage: python _bootstrap_worker.py <coordinator_port> <process_id> <nprocs>
+
+Each process owns 2 virtual CPU devices; together they form a 2x2-device
+global mesh. Exercises the pod path end-to-end: bootstrap.initialize ->
+global mesh -> sharded engine -> one step -> cross-process readback.
+"""
+
+import os
+import sys
+
+port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multi_adapter_particles_tpu.config import SimConfig  # noqa: E402
+from multi_adapter_particles_tpu.parallel import (  # noqa: E402
+    MeshComputeEngine,
+    bootstrap,
+    make_mesh,
+)
+
+ok = bootstrap.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs,
+    process_id=pid,
+)
+assert ok, "initialize() must report launched"
+assert jax.process_count() == nprocs, jax.process_count()
+assert len(jax.devices()) == 2 * nprocs, len(jax.devices())
+assert len(jax.local_devices()) == 2
+assert bootstrap.is_primary() == (pid == 0)
+assert bootstrap.local_render_device() in jax.local_devices()
+
+mesh = make_mesh()  # global mesh over all processes' devices
+assert mesh.devices.size == 2 * nprocs
+
+cfg = SimConfig(num_particles=512, force_model="all_pairs")
+eng = MeshComputeEngine(cfg, mesh, seed=0, use_pallas=False)
+eng.simulate()
+eng.simulate()
+eng.wait_for_gpu()
+assert eng.get_fence_value() == 2
+
+# cross-process readback: every process sees the same full trajectory
+import numpy as np  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+
+full = multihost_utils.process_allgather(eng.positions, tiled=True)
+assert full.shape == (4, 512), full.shape
+assert np.isfinite(full).all()
+
+# single-process reference: the bit-stable schedule must make the pod run
+# identical to a local run
+from multi_adapter_particles_tpu.models import init as pinit, integrator  # noqa: E402
+
+ref = pinit.initialize_particles_device(512, seed=0)
+step = integrator.make_step(cfg, donate=False)
+ref = step(step(ref))
+np.testing.assert_array_equal(full, np.asarray(ref.position))
+
+# render feed on a pod: gather the global state onto a local device
+from multi_adapter_particles_tpu.parallel.sharded import gather_positions  # noqa: E402
+
+local = gather_positions(eng.state, bootstrap.local_render_device())
+assert local.shape == (4, 512)
+assert local.devices() == {bootstrap.local_render_device()}
+np.testing.assert_array_equal(np.asarray(local), full)
+
+print(f"BOOTSTRAP_OK pid={pid} devices={len(jax.devices())}", flush=True)

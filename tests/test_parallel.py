@@ -367,6 +367,46 @@ class TestBitStableTrajectories:
 
 
 class TestBootstrap:
+    def test_two_process_cluster(self):
+        """Spawn a real 2-process jax.distributed CPU cluster: initialize,
+        build the global 4-device mesh, step the sharded engine, and check
+        the pod trajectory matches a local run bit-for-bit."""
+        import socket
+        import subprocess
+        import sys as _sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        worker = str(
+            __import__("pathlib").Path(__file__).parent / "_bootstrap_worker.py"
+        )
+        env = {
+            k: v for k, v in __import__("os").environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, worker, str(port), str(pid), "2"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=240)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail("bootstrap workers timed out:\n" + "\n".join(outs))
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+            assert "BOOTSTRAP_OK" in out, out
+
     def test_noop_on_single_host(self, monkeypatch):
         from multi_adapter_particles_tpu.parallel import bootstrap
 

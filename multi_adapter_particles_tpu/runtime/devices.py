@@ -11,10 +11,13 @@ an adapter, and the host CPU device is kept in the list as the weak
 without second-chip hardware; the reference's WARP/software filter maps to
 de-prioritizing, not hiding, the CPU device). Role assignment:
 
-- default: the first accelerator for both roles -> async-compute mode
+- default with 2+ accelerators: SPLIT — compute on the first chip, render
+  on the second (the headline multi-adapter mode, on by default like the
+  reference whenever two adapters exist);
+- default with one accelerator: both roles share it -> async-compute mode
   (one chip simulating and rendering, zero copies — `README.md:14`);
-- distinct devices -> split mode with an explicit positions transfer each
-  frame (the cross-adapter shared heap + copy queue analog).
+- any explicit pair of distinct devices -> split mode with a positions
+  transfer each frame (the cross-adapter shared heap + copy queue analog).
 """
 
 from __future__ import annotations
@@ -85,16 +88,28 @@ def assign_adapters(
 ) -> Tuple[AdapterInfo, AdapterInfo]:
     """Pick (compute, render) adapters.
 
-    Reference heuristic (`Particles.cpp:212-243`): compute prefers the UMA
-    adapter, render prefers discrete. Here, with one big accelerator, the
-    default is the same accelerator for both (async-compute mode) because the
-    CPU "UMA" device is orders slower — the equivalent of the reference
-    running on a single-GPU machine.
+    Reference heuristic (`Particles.cpp:212-243`): whenever TWO adapters
+    exist, split the roles (UMA adapter computes, discrete renders) — the
+    multi-adapter mode is the default, not opt-in. Mapped here: with 2+
+    accelerators of the leading platform, compute takes the first and
+    render the second (chips are symmetric, so no UMA preference applies);
+    with one accelerator, both roles share it (async-compute mode — the
+    reference on a single-GPU machine). The CPU "UMA" device never wins a
+    default role next to an accelerator (orders slower), only explicit
+    selection.
     """
-    accel = [a for a in adapters if a.is_accelerator]
-    default = accel[0] if accel else adapters[0]
-    compute = adapters[compute_index] if compute_index is not None else default
-    render = adapters[render_index] if render_index is not None else default
+    pool = [a for a in adapters if a.is_accelerator] or list(adapters)
+    same_platform = [a for a in pool if a.platform == pool[0].platform]
+    default_compute = same_platform[0]
+    default_render = (
+        same_platform[1] if len(same_platform) > 1 else same_platform[0]
+    )
+    compute = (
+        adapters[compute_index] if compute_index is not None else default_compute
+    )
+    render = (
+        adapters[render_index] if render_index is not None else default_render
+    )
     return compute, render
 
 

@@ -89,6 +89,11 @@ class ParticlesApp:
         compute_ad, render_ad = devmod.assign_adapters(
             self.adapters, compute_adapter, render_adapter
         )
+        if fused and compute_adapter is None and render_adapter is None:
+            # fused = the single-adapter async-compute analog: an
+            # unspecified assignment binds both roles to one device rather
+            # than the default split
+            render_ad = compute_ad
         self.compute_adapter = compute_ad
         self.render_adapter = render_ad
         # prev-value change detection (`Particles.cpp:162-166,458-463`)

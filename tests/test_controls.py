@@ -152,7 +152,7 @@ class TestApplyKey:
     def test_adapter_cycle_keys(self):
         if len(jax.devices()) < 2:
             pytest.skip("needs 2+ devices")
-        app = make_app()
+        app = make_app(compute_adapter=0, render_adapter=0)
         apply_key(app, "c")
         apply_key(app, "r")
         app.draw()  # reconfiguration applies post-present

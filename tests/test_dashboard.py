@@ -22,7 +22,8 @@ def test_ansi_panel_contains_controls():
     app.draw()
     text = dashboard.render_ansi(app, clear=False)
     for token in (
-        "Async Compute", "size", "intensity", "simulated", "copied",
+        "Multi-Adapter Split",  # default role split with 2+ devices
+        "size", "intensity", "simulated", "copied",
         "rendered", "linked", "vsync", "frameTime",
     ):
         assert token in text, token

@@ -37,10 +37,17 @@ class TestDevices:
         assert len(adapters) >= 1
         assert all(a.index == i for i, a in enumerate(adapters))
 
-    def test_assign_default_same_device(self):
+    def test_assign_default_splits_with_two_accelerators(self):
+        """Two adapters -> split roles by default, like the reference
+        (`Particles.cpp:212-243`: multi-adapter mode is not opt-in)."""
         adapters = enumerate_adapters()
+        accel = [a for a in adapters if a.is_accelerator] or adapters
         c, r = assign_adapters(adapters)
-        assert c.device == r.device
+        if len(accel) > 1:
+            assert c.device != r.device
+            assert (c.index, r.index) == (accel[0].index, accel[1].index)
+        else:
+            assert c.device == r.device
 
     def test_assign_explicit(self):
         adapters = enumerate_adapters()
@@ -48,11 +55,16 @@ class TestDevices:
             pytest.skip("needs 2+ devices")
         c, r = assign_adapters(adapters, compute_index=0, render_index=1)
         assert c.device != r.device
+        c, r = assign_adapters(adapters, compute_index=0, render_index=0)
+        assert c.device == r.device
 
     def test_mode_banner(self):
         adapters = enumerate_adapters()
-        c, r = assign_adapters(adapters)
+        c, r = assign_adapters(adapters, compute_index=0, render_index=0)
         assert "Async Compute" in mode_banner(c, r)
+        if len(adapters) > 1:
+            c, r = assign_adapters(adapters, compute_index=0, render_index=1)
+            assert "Multi-Adapter Split" in mode_banner(c, r)
 
 
 class TestComputeEngine:
@@ -189,7 +201,8 @@ class TestParticlesApp:
     def test_live_compute_reassignment(self):
         if len(jax.devices()) < 2:
             pytest.skip("needs 2+ devices")
-        app = small_app()
+        # pin both roles to device 0 so the cycle below is a real change
+        app = small_app(compute_adapter=0, render_adapter=0)
         app.draw()
         app.compute.wait_for_gpu()
         pos_before = np.asarray(app.compute.positions)
@@ -312,7 +325,7 @@ class TestRenderReassignment:
         survives; sim unaffected (Particles.cpp:488-509)."""
         if len(jax.devices()) < 2:
             pytest.skip("needs 2+ devices")
-        app = small_app()
+        app = small_app(compute_adapter=0, render_adapter=0)
         app.draw()
         app.render.camera.yaw += 0.25  # mutate camera state
         yaw = app.render.camera.yaw

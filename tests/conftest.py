@@ -6,11 +6,18 @@ equivalent — it filters software adapters out, `Particles.cpp:108` — so this
 is one of the places the new framework exceeds it).
 
 Must run before jax is imported anywhere.
+
+`MAP_TEST_BACKEND=tpu` opts OUT of the CPU forcing: the suite then runs on
+the real default backend, which auto-enables the perf smoke tests
+(test_perf_smoke.py keys on the live backend, not an env flag).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_want_tpu = os.environ.get("MAP_TEST_BACKEND", "").lower() == "tpu"
+
+if not _want_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,7 +29,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 # before any backend initialization.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

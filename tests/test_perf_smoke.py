@@ -15,9 +15,19 @@ import time
 
 import pytest
 
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+# Auto-enabled whenever the live backend is TPU (run the suite with
+# MAP_TEST_BACKEND=tpu — conftest then skips the CPU forcing); the legacy
+# MAP_PERF_SMOKE=1 override still forces them on.
 requires_tpu = pytest.mark.skipif(
-    os.environ.get("MAP_PERF_SMOKE") != "1",
-    reason="perf smoke runs on real TPU only (set MAP_PERF_SMOKE=1)",
+    os.environ.get("MAP_PERF_SMOKE") != "1" and not _on_tpu(),
+    reason="perf smoke needs the TPU backend (MAP_TEST_BACKEND=tpu)",
 )
 
 

@@ -15,13 +15,15 @@ orchestrator can slot it into both roles. Per-stage timers are unavailable
 by construction (one program) — the frame EMA is the metric, exactly like
 vsynced present timing.
 
-When to use: fused wins when every frame must host-sync (vsync-style
-pacing: one dispatch per frame instead of two halves the sync overhead —
-1.6x at 262K measured under per-frame present). For pure throughput with
-dispatch-ahead (-novsync), split mode wins at every size measured (30.7 vs
-42.6 ms/frame at 262K; 411 vs 543 ms at 4M): split overlaps sim and render
-across dispatches and aliases the stale-by-one read for free, while the
-fused program serializes the stages and copies the donated state.
+The frame program keeps TWO state buffers and ping-pongs them explicitly —
+the descriptor-base-sliding analog (`Compute.cpp:52-62,1030-1035`): the
+CURRENT state is passed un-donated (so the render stage and the integrator
+both read it freely, no copy and no hazard), while the PREVIOUS frame's
+state buffers are passed donated as scratch for the integrator's output.
+The caller swaps the two handles every frame. Round 1 donated the single
+current state instead, which forced XLA to copy it so the stale-by-one
+render could still read it — that copy made fused lose to split mode under
+dispatch-ahead pacing (543 vs 412 ms @4M).
 """
 
 from __future__ import annotations
@@ -95,7 +97,13 @@ class FusedEngine:
 
         rcfg = render_config
 
-        def fused(state, wvp, p00, p11, radius, intensity, num_draw, num_sim):
+        def fused(state, scratch, wvp, p00, p11, radius, intensity, num_draw,
+                  num_sim):
+            # `state` (frame N) is NOT donated: render and integrate both
+            # read it with no copy. `scratch` is frame N-1's retired buffers,
+            # donated so the integrator's output aliases them — the explicit
+            # two-buffer ping-pong (`Compute.cpp:52-62,1030-1035`).
+            del scratch  # storage donor only; contents are dead
             # draw frame N (pre-step positions: the stale-by-one contract)...
             q = self.renderer.resolve_seg_q(state.padded_count)
             out = rmod._render(
@@ -114,8 +122,8 @@ class FusedEngine:
 
         self._fused = jax.jit(
             fused,
-            static_argnums=(7,),
-            donate_argnums=(0,) if donate else (),
+            static_argnums=(8,),
+            donate_argnums=(1,) if donate else (),
         )
 
         if prev is not None:
@@ -127,6 +135,12 @@ class FusedEngine:
                 self.state = pinit.initialize_particles_device(
                     sim_config.num_particles, seed=seed
                 )
+        self._scratch = self._fresh_scratch()
+
+    def _fresh_scratch(self) -> ParticleState:
+        """Second ping-pong buffer set (contents dead; storage donor)."""
+        with jax.default_device(self.device):
+            return jax.tree_util.tree_map(jnp.zeros_like, self.state)
 
     # -- the frame -----------------------------------------------------------
     def frame(
@@ -143,8 +157,9 @@ class FusedEngine:
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         )
         n = self.state.padded_count
-        self.state, self._frame = self._fused(
+        new_state, self._frame = self._fused(
             self.state,
+            self._scratch,
             jnp.asarray(wvp),
             jnp.float32(abs(proj[0, 0])),
             jnp.float32(abs(proj[1, 1])),
@@ -153,6 +168,8 @@ class FusedEngine:
             jnp.int32(n if num_draw is None else num_draw),
             num_sim,
         )
+        # ping-pong: frame N's buffers become next frame's scratch donor
+        self._scratch, self.state = self.state, new_state
         self.step_count += 1
         self.frame_count += 1
         return self._frame
@@ -182,6 +199,7 @@ class FusedEngine:
             ),
             self.device,
         )
+        self._scratch = self._fresh_scratch()
 
     # -- render-engine interface ----------------------------------------------
     @property

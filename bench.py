@@ -1,15 +1,26 @@
-"""Headline benchmark: pairwise interactions/sec/chip, all-pairs force.
+"""Driver benchmark: headline kernel metric PLUS the BASELINE.md staged
+configs, so BENCH_r*.json catches renderer/pipeline regressions too.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. Top-level keys are the headline metric
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": [...]}
+and "extra" carries the staged configs, each with its own vs_baseline:
 
-Baseline (BASELINE.json north star): 1e12 softened-gravity pairwise
-interactions/sec/chip at 1M particles on one TPU chip, fp32.
+  1. (headline) pairwise interactions/sec/chip, all-pairs force @1M fp32.
+     Baseline: BASELINE.json north star 1e12 pairs/s/chip (framed for v5p;
+     this runs on one v5e). Higher is better; vs_baseline = value/1e12.
+  2. 256K + 720p split-mode frame time (full sim+draw loop, dispatch-ahead
+     pacing) — BASELINE.json staged config #3. Baseline: the reference's
+     60 FPS frame budget (16.67 ms, `/root/reference/README.md:12`).
+     Lower is better; vs_baseline = 16.67/value (>1 = inside budget).
+  3. Render-only ms at 262K, 1024x1024 (the reference's window,
+     `Main-Particles.cpp:50`). Baseline: 35.9 ms = this repo's round-1
+     measured value (regression gate). vs_baseline = 35.9/value
+     (>1 = faster than round 1).
 
 Timing notes (see .claude/skills/verify/SKILL.md): on the axon tunnel,
 `block_until_ready` does not reliably block for Pallas outputs, so every
-measurement forces a 1-element host round-trip; steps are chained
-(state -> state) so nothing can be skipped.
+measurement forces a 1-element host round-trip (`utils.timers.sync`);
+sim steps are chained (state -> state) so nothing can be skipped.
 """
 
 import json
@@ -20,22 +31,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PAIRS_PER_SEC = 1.0e12
-N = 1_048_576
-WARMUP_STEPS = 1
-TIMED_STEPS = 3
+FRAME_BUDGET_MS = 1000.0 / 60.0        # README.md:12 60 FPS win condition
+RENDER_R1_MS = 35.9                    # round-1 measured 262K @1024^2
+
+N_KERNEL = 1_048_576
+N_FRAME = 262_144
 
 
-def main() -> int:
-    import jax
-
+def _bench_kernel(jax, n: int) -> dict:
     from multi_adapter_particles_tpu.config import SimConfig
     from multi_adapter_particles_tpu.models import init as pinit, integrator
     from multi_adapter_particles_tpu.ops import allpairs
     from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
-
-    n = N
-    if jax.default_backend() == "cpu":
-        n = 8192  # CI smoke fallback; the driver runs this on real TPU
+    from multi_adapter_particles_tpu.utils.timers import sync
 
     cfg = SimConfig(num_particles=n, force_model="all_pairs")
     accel_fn = (
@@ -52,29 +60,116 @@ def main() -> int:
     state = pinit.initialize_particles_device(n, seed=42)
     np_pad = state.padded_count
 
-    for _ in range(WARMUP_STEPS):
-        state = step(state)
-    _ = float(jax.device_get(state.position[0, 0]))  # hard sync (see skill)
+    state = step(state)  # warm-up/compile
+    sync(state.position)
 
+    timed_steps = 3
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
+    for _ in range(timed_steps):
         state = step(state)
-    _ = float(jax.device_get(state.position[0, 0]))
+    sync(state.position)
     dt = time.perf_counter() - t0
 
-    pairs = float(TIMED_STEPS) * np_pad * np_pad
-    pairs_per_sec = pairs / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"pairwise interactions/sec/chip @ {n} particles "
-                f"(all-pairs softened gravity, fp32)",
-                "value": pairs_per_sec,
-                "unit": "pairs/s",
-                "vs_baseline": pairs_per_sec / BASELINE_PAIRS_PER_SEC,
-            }
-        )
+    pairs_per_sec = float(timed_steps) * np_pad * np_pad / dt
+    return {
+        "metric": f"pairwise interactions/sec/chip @ {n} particles "
+        f"(all-pairs softened gravity, fp32)",
+        "value": pairs_per_sec,
+        "unit": "pairs/s",
+        "vs_baseline": pairs_per_sec / BASELINE_PAIRS_PER_SEC,
+    }
+
+
+def _bench_frame(jax, n: int, warm: int, timed: int) -> dict:
+    """256K + 720p full split-mode frame (BASELINE.json config #3)."""
+    from multi_adapter_particles_tpu.config import (
+        AppConfig, RenderConfig, SimConfig,
     )
+    from multi_adapter_particles_tpu.runtime.orchestrator import ParticlesApp
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    app = ParticlesApp(
+        AppConfig(num_particles=n, vsync=False, gui=False),
+        SimConfig(num_particles=n),
+        RenderConfig(width=1280, height=720),
+        seed=42,
+        async_timers=False,
+    )
+
+    def drain():
+        app.compute.wait_for_gpu()
+        if app.render.last_frame is not None:
+            sync(app.render.last_frame)
+
+    for _ in range(warm):
+        app.draw()
+    drain()
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        app.draw()
+    drain()
+    ms = (time.perf_counter() - t0) * 1000.0 / timed
+    app.shutdown()
+    return {
+        "metric": f"split-mode frame ms @ {n} particles, 1280x720 "
+        "(sim+render, dispatch-ahead)",
+        "value": ms,
+        "unit": "ms/frame",
+        "vs_baseline": FRAME_BUDGET_MS / ms,
+    }
+
+
+def _bench_render(jax, n: int, warm: int, timed: int) -> dict:
+    """Render-only 262K @1024^2 (regression gate vs round 1's 35.9 ms)."""
+    from multi_adapter_particles_tpu.config import RenderConfig
+    from multi_adapter_particles_tpu.models import init as pinit
+    from multi_adapter_particles_tpu.render.camera import Camera
+    from multi_adapter_particles_tpu.render.renderer import Renderer
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    cfg = RenderConfig(width=1024, height=1024)
+    renderer = Renderer(cfg)
+    camera = Camera(position=cfg.camera_position)
+    state = pinit.initialize_particles_device(n, seed=42)
+    sync(state.position)
+
+    out = None
+    for _ in range(warm):
+        out = renderer.render_arrays(state.position, camera, 2.5, 0.15)
+    sync(out.frame)
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        out = renderer.render_arrays(state.position, camera, 2.5, 0.15)
+    sync(out.frame)
+    ms = (time.perf_counter() - t0) * 1000.0 / timed
+    return {
+        "metric": f"render-only ms @ {n} particles, 1024x1024 exact splat",
+        "value": ms,
+        "unit": "ms/frame",
+        "vs_baseline": RENDER_R1_MS / ms,
+    }
+
+
+def main() -> int:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        n_kernel, n_frame = N_KERNEL, N_FRAME
+        warm, timed = 10, 30
+    else:
+        # CI smoke fallback; the driver runs this on real TPU
+        n_kernel, n_frame = 8192, 8192
+        warm, timed = 2, 3
+
+    headline = _bench_kernel(jax, n_kernel)
+    extra = [
+        _bench_frame(jax, n_frame, warm, timed),
+        _bench_render(jax, n_frame if on_tpu else 8192, warm, timed),
+    ]
+    out = dict(headline)
+    out["extra"] = extra
+    print(json.dumps(out))
     return 0
 
 

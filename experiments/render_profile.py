@@ -1,140 +1,248 @@
-"""Renderer cost attribution on real TPU: sort vs gather vs composite scan.
+"""Stage-cost attribution for the tile-binned splat renderer.
 
-Stages timed separately (each as its own jit so XLA can't fuse across the
-boundary we're measuring):
-  project+bin (keys)        — elementwise
-  argsort (stable)          — the suspected hot spot at n*dup entries
-  starts/counts+gather      — searchsorted + [T, k_max] param gathers
-  composite scan            — k_max blend steps over all tiles
+Builds truncated variants of render/_render (project -> bin/key -> sort ->
+row/mask build -> composite -> combine/assembly); XLA dead-code-eliminates
+everything after the cut, so successive differences attribute wall time per
+stage. Mirrors the structure of `render/renderer.py:_render` — keep in sync
+when that changes (profiling snapshot, not production code).
 
-Also times the full render at several k_max values and window sizes.
-
-Usage: python experiments/render_profile.py [N] [k_max]
+Run on the real chip:  python experiments/render_profile.py [N]
 """
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from multi_adapter_particles_tpu.config import RenderConfig
-from multi_adapter_particles_tpu.models import init as pinit
-from multi_adapter_particles_tpu.render.camera import Camera
-from multi_adapter_particles_tpu.render.renderer import Renderer
+from multi_adapter_particles_tpu.render.renderer import (
+    TILE_H, TILE_W, _colors, _project,
+)
 
 
-def sync(x):
-    _ = float(jax.device_get(jnp.ravel(x)[0]))
-
-
-def t(name, fn, *args, k=5):
-    out = fn(*args)
-    sync(out if not isinstance(out, tuple) else out[0])
-    t0 = time.perf_counter()
-    for _ in range(k):
-        out = fn(*args)
-    sync(out if not isinstance(out, tuple) else out[0])
-    dt = (time.perf_counter() - t0) / k
-    print(f"{name:28s}: {dt*1e3:9.2f} ms", flush=True)
-    return out
-
-
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
-    k_max = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    dup = 6
-    print(f"N={n} k_max={k_max} backend={jax.default_backend()}", flush=True)
-
-    state = pinit.initialize_particles_device(n, seed=0)
-    sync(state.position)
-    pos = state.position
-    npad = pos.shape[1]
-
-    key = jax.random.PRNGKey(1)
-    # synthetic keys with realistic skew: tile ids from the actual projection
-    cfg = RenderConfig()
-    cam = Camera()
-    r = Renderer(cfg, k_max=k_max)
-
-    # full render timings at a few k_max
-    for km in (64, 256, k_max):
-        rr = Renderer(cfg, k_max=km)
-        t(f"full render k_max={km:5d}",
-          lambda p, rr=rr: rr.render_arrays(p, cam, 2.5, 0.15).frame, pos)
-
-    # ---- stage attribution with real keys ----
-    from multi_adapter_particles_tpu.render import renderer as R
-
-    gh, gw = cfg.height // R.TILE_H, cfg.width // R.TILE_W
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "seg_q", "dup_y", "dup_x", "near",
+                     "use_pallas_composite", "stage"),
+)
+def _render_upto(
+    position, wvp, p00, p11, radius, intensity, num_draw,
+    *, width, height, seg_q, dup_y, dup_x, near,
+    use_pallas_composite, stage,
+):
+    n = position.shape[1]
+    gh, gw = height // TILE_H, width // TILE_W
     num_tiles = gh * gw
+    dup = dup_y * dup_x
 
-    @jax.jit
-    def stage_keys(p):
-        wvp = jnp.asarray(cam.world_view_projection(cfg.aspect))
-        proj = cam.projection_matrix(cfg.aspect)
-        cx, cy, hx, hy, w_clip = R._project(
-            p, wvp, jnp.float32(abs(proj[0, 0])), jnp.float32(abs(proj[1, 1])),
-            float(cfg.width), float(cfg.height), jnp.float32(2.5))
-        x0 = jnp.maximum(jnp.ceil(cx - hx - 0.5), 0.0).astype(jnp.int32)
-        y0 = jnp.maximum(jnp.ceil(cy - hy - 0.5), 0.0).astype(jnp.int32)
-        tx0 = x0 // R.TILE_W
-        ty0 = y0 // R.TILE_H
-        dys = jnp.arange(3, dtype=jnp.int32)
-        dxs = jnp.arange(2, dtype=jnp.int32)
-        ty = ty0[:, None, None] + dys[None, :, None]
-        tx = tx0[:, None, None] + dxs[None, None, :]
-        keyv = jnp.clip(ty * gw + tx, 0, num_tiles).reshape(-1)
-        return keyv
+    cx, cy, hx, hy, w_clip = _project(
+        position, wvp, p00, p11, float(width), float(height), radius
+    )
+    cr, cg, cb = _colors(position, n)
+    if stage == "project":
+        return cx.sum() + cy.sum() + hx.sum() + hy.sum() + cr.sum() + cg.sum()
 
-    keys = t("project+bin", stage_keys, pos)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    alive = (ids < num_draw) & (w_clip > jnp.float32(near))
+    x0 = cx - hx
+    x1 = cx + hx
+    y0 = cy - hy
+    y1 = cy + hy
+    px0 = jnp.maximum(jnp.ceil(x0 - 0.5), 0.0).astype(jnp.int32)
+    px1 = jnp.minimum(jnp.ceil(x1 - 0.5), width).astype(jnp.int32)
+    py0 = jnp.maximum(jnp.ceil(y0 - 0.5), 0.0).astype(jnp.int32)
+    py1 = jnp.minimum(jnp.ceil(y1 - 0.5), height).astype(jnp.int32)
+    nonempty = (px0 < px1) & (py0 < py1) & alive
+    tx0 = px0 // TILE_W
+    tx1 = (px1 - 1) // TILE_W
+    ty0 = py0 // TILE_H
+    ty1 = (py1 - 1) // TILE_H
+    dys = jnp.arange(dup_y, dtype=jnp.int32)
+    dxs = jnp.arange(dup_x, dtype=jnp.int32)
+    ty = ty0[:, None, None] + dys[None, :, None]
+    tx = tx0[:, None, None] + dxs[None, None, :]
+    ok = (
+        nonempty[:, None, None]
+        & (ty <= ty1[:, None, None])
+        & (tx <= tx1[:, None, None])
+    )
+    key = jnp.where(ok, ty * gw + tx, num_tiles)
+    key = key.reshape(n * dup)
+    inv2hx = jnp.nan_to_num(1.0 / (2.0 * hx), nan=0.0, posinf=0.0, neginf=0.0)
+    inv2hy = jnp.nan_to_num(1.0 / (2.0 * hy), nan=0.0, posinf=0.0, neginf=0.0)
+    cx = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
+    cy = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
+    if stage == "bin":
+        return key.sum() + inv2hx.sum() + inv2hy.sum()
 
-    argsort = jax.jit(lambda kk: jnp.argsort(kk, stable=True))
-    order = t("argsort (stable)", argsort, keys)
+    def expand(a):
+        return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
-    @jax.jit
-    def stage_gather(kk, od):
-        sorted_key = kk[od]
-        sorted_pid = (od // dup).astype(jnp.int32)
-        starts = jnp.searchsorted(
-            sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left")
-        kkk = jnp.arange(k_max, dtype=jnp.int32)
-        gather_idx = starts[:-1, None] + kkk[None, :]
-        valid = kkk[None, :] < (starts[1:] - starts[:-1])[:, None]
-        pid = jnp.where(valid, sorted_pid[jnp.clip(gather_idx, 0, kk.shape[0] - 1)], 0)
-        return pid
+    (sorted_key, s_cx, s_cy, s_ihx, s_ihy, s_cr, s_cg, s_cb) = jax.lax.sort(
+        (
+            key, expand(cx), expand(cy), expand(inv2hx), expand(inv2hy),
+            expand(cr), expand(cg), expand(cb),
+        ),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    if stage == "sort":
+        return sorted_key.sum() + s_cx.sum() + s_cr.sum() + s_ihy.sum()
 
-    pid = t("starts+pid gather", stage_gather, keys, order)
+    starts = jnp.searchsorted(
+        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    )
+    counts = starts[1:] - starts[:-1]
+    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
+    base_x = (tidx % gw) * TILE_W
+    base_y = (tidx // gw) * TILE_H
+    ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pxc = (base_x[:, None, None] + lx[None]).astype(jnp.float32) + 0.5
+    pyc = (base_y[:, None, None] + ly[None]).astype(jnp.float32) + 0.5
+    pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
+    pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
-    @jax.jit
-    def stage_scan(pidm):
-        xs = (pidm.astype(jnp.float32).T,) * 8
-        pxc = jnp.zeros((num_tiles, R.TILE_H * R.TILE_W), jnp.float32)
+    px_count = TILE_H * TILE_W
+    e_total = n * dup
+    q = seg_q
+    data_rows = -(-e_total // q)
+    e_pad = data_rows * q - e_total
+    max_segs = data_rows + 1
+    num_rows = num_tiles + data_rows
 
-        def step(frame, sprite):
-            s = sprite[0]
-            alpha = jnp.clip(0.5 - jnp.abs(pxc - s[:, None]) * 1e-6, 0, 0.5)
-            src = alpha[:, None, :] * 0.1
-            return jnp.clip(src + frame * (1.0 - alpha[:, None, :]), 0, 1), None
+    ends = starts[1:]
+    j_lo = starts[:-1] // q
+    j_hi = jnp.where(counts > 0, (ends - 1) // q, j_lo)
+    segs = jnp.where(counts > 0, j_hi - j_lo + 1, 1)
+    row_end = jnp.cumsum(segs).astype(jnp.int32)
+    row_start = (row_end - segs).astype(jnp.int32)
+    v = jnp.arange(num_rows, dtype=jnp.int32)
+    tile_v = jnp.searchsorted(row_end, v, side="right").astype(jnp.int32)
+    valid_v = v < row_end[-1]
+    tile_vc = jnp.clip(tile_v, 0, num_tiles - 1)
+    seg_v = v - row_start[tile_vc]
+    j_v = j_lo[tile_vc] + seg_v
+    lo_k = jnp.clip(starts[:-1][tile_vc] - j_v * q, 0, q)
+    hi_k = jnp.clip(ends[tile_vc] - j_v * q, 0, q)
+    hi_k = jnp.where(valid_v & (counts[tile_vc] > 0), hi_k, 0)
 
-        f0 = jnp.zeros((num_tiles, 3, R.TILE_H * R.TILE_W), jnp.float32)
-        f, _ = jax.lax.scan(step, f0, xs)
-        return f
+    kk = jnp.arange(q, dtype=jnp.int32)
+    valid_k = (kk[None, :] >= lo_k[:, None]) & (kk[None, :] < hi_k[:, None])
+    sa = jnp.where(valid_k, intensity, 0.0)
 
-    t(f"composite scan k={k_max}", stage_scan, pid)
+    def rows(a):
+        if e_pad:
+            a = jnp.concatenate([a, jnp.zeros((e_pad,), a.dtype)])
+        return a.reshape(data_rows, q)[j_v]
 
-    # occupancy stats for the bucketing design
-    kk = np.asarray(keys)
-    counts = np.bincount(kk[kk < num_tiles], minlength=num_tiles)
-    counts.sort()
-    print(f"tile occupancy: max={counts[-1]}, p99={counts[int(0.99*num_tiles)]}, "
-          f"p90={counts[int(0.90*num_tiles)]}, median={counts[num_tiles//2]}, "
-          f"mean={counts.mean():.1f}, total={counts.sum()}", flush=True)
+    sp = jnp.stack(
+        [rows(s_cx), rows(s_cy), rows(s_ihx), rows(s_ihy),
+         rows(s_cr), rows(s_cg), rows(s_cb), sa],
+        axis=0,
+    )
+    if stage == "rowbuild":
+        return sp.sum()
+
+    if use_pallas_composite:
+        from multi_adapter_particles_tpu.ops.composite import (
+            composite_rows_pallas,
+        )
+
+        bases = jnp.stack(
+            [
+                (base_x[tile_vc]).astype(jnp.float32),
+                (base_y[tile_vc]).astype(jnp.float32),
+            ]
+        )
+        out4 = composite_rows_pallas(
+            sp.transpose(0, 2, 1), bases, TILE_H, TILE_W, blend="over"
+        )
+        cr_v = out4[0].T
+        cg_v = out4[1].T
+        cb_v = out4[2].T
+        tv = out4[3].T
+    else:
+        raise NotImplementedError("profile targets the TPU pallas path")
+    if stage == "composite":
+        return cr_v.sum() + cg_v.sum() + cb_v.sum() + tv.sum()
+
+    segs_v = segs[tile_vc]
+    passes = max(max_segs - 1, 0).bit_length()
+    chans = [cr_v, cg_v, cb_v]
+    for p in range(passes):
+        s = 1 << p
+        take = ((seg_v % (2 * s) == 0) & (seg_v + s < segs_v))[:, None]
+        part_t = jnp.concatenate(
+            [tv[s:], jnp.ones((s, px_count), jnp.float32)], axis=0
+        )
+        for c in range(3):
+            part_c = jnp.concatenate(
+                [chans[c][s:], jnp.zeros((s, px_count), jnp.float32)], axis=0
+            )
+            chans[c] = jnp.where(take, chans[c] * part_t + part_c, chans[c])
+        tv = jnp.where(take, tv * part_t, tv)
+    if stage == "combine":
+        return chans[0].sum() + chans[1].sum() + chans[2].sum()
+
+    frame_t = jnp.stack([c[row_start] for c in chans], axis=1)
+    frame_t = jnp.clip(frame_t, 0.0, 1.0)
+    frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
+    frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
+    return frame.sum()
+
+
+STAGES = ["project", "bin", "sort", "rowbuild", "composite", "combine", "full"]
+
+
+def main() -> int:
+    from multi_adapter_particles_tpu.config import RenderConfig
+    from multi_adapter_particles_tpu.models import init as pinit
+    from multi_adapter_particles_tpu.render.camera import Camera
+    from multi_adapter_particles_tpu.render.renderer import Renderer
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    cfg = RenderConfig(width=1024, height=1024)
+    r = Renderer(cfg)
+    camera = Camera(position=cfg.camera_position)
+    state = pinit.initialize_particles_device(n, seed=42)
+    proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
+    wvp = jnp.asarray(
+        camera.world_view_projection(cfg.aspect, fov_y=cfg.fov_y,
+                                     near=cfg.near, far=cfg.far)
+    )
+    q = r.resolve_seg_q(state.padded_count)
+    print(f"backend={jax.default_backend()} n={n} seg_q={q}", flush=True)
+
+    args = (
+        state.position, wvp,
+        jnp.float32(abs(proj[0, 0])), jnp.float32(abs(proj[1, 1])),
+        jnp.float32(2.5), jnp.float32(0.15),
+        jnp.int32(state.padded_count),
+    )
+    kw = dict(
+        width=cfg.width, height=cfg.height, seg_q=q,
+        dup_y=r.dup_y, dup_x=r.dup_x, near=cfg.near,
+        use_pallas_composite=True,
+    )
+    reps = 20
+    prev = 0.0
+    for stage in STAGES:
+        out = _render_upto(*args, stage=stage, **kw)   # compile
+        float(out)                                     # real completion
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = _render_upto(*args, stage=stage, **kw)
+        float(out)
+        ms = (time.perf_counter() - t0) * 1000.0 / reps
+        print(f"{stage:>10}: {ms:7.2f} ms cumulative  (+{ms - prev:6.2f})",
+              flush=True)
+        prev = ms
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

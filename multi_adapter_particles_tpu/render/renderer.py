@@ -62,6 +62,10 @@ class FrameOutput(NamedTuple):
     truncated: jax.Array  # int32 — tile entries beyond the dup_y x dup_x
     #                       candidate window (sprites bigger than the dup
     #                       grid; fix by raising dup_y/dup_x)
+    span_y: jax.Array     # int32 — max tile rows any live sprite covers
+    span_x: jax.Array     # int32 — max tile cols any live sprite covers
+    #                       (the dup_y/dup_x a lossless frame needs;
+    #                       drives the auto-raise in Renderer.render)
 
 
 def _project(position, wvp, p00, p11, width, height, radius):
@@ -166,6 +170,8 @@ def _render(
         where=nonempty,
         initial=0,
     )
+    span_y = jnp.max(ty1 - ty0 + 1, where=nonempty, initial=0)
+    span_x = jnp.max(tx1 - tx0 + 1, where=nonempty, initial=0)
 
     # Multi-operand stable sort carries ALL sprite params as payloads — one
     # sorting network instead of argsort + chains of random gathers
@@ -344,7 +350,8 @@ def _render(
     frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
     frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
     return FrameOutput(
-        frame, overflow.astype(jnp.int32), truncated.astype(jnp.int32)
+        frame, overflow.astype(jnp.int32), truncated.astype(jnp.int32),
+        span_y.astype(jnp.int32), span_x.astype(jnp.int32),
     )
 
 
@@ -365,6 +372,7 @@ class Renderer:
         dup_y: int = 2,
         dup_x: int = 2,
         blend: str = "over",
+        auto_raise_dup: bool = True,
     ):
         """seg_q None = adaptive: ~half the mean entries/tile, clamped to
         [32, 256] (measured optimum scales with particle density: Q=64 best
@@ -384,6 +392,12 @@ class Renderer:
         from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 
         self.use_pallas_composite = pallas_supported()
+        # When a frame reports truncation (a sprite spans more tiles than
+        # the dup window — GUI size slider up to 10 with a close camera),
+        # grow dup_y/dup_x to the frame's measured max span so the NEXT
+        # render is lossless (one recompile per growth). `render()` also
+        # re-renders the same frame immediately.
+        self.auto_raise_dup = auto_raise_dup
         self.last_overflow = 0
         self.last_truncated = 0
 
@@ -435,12 +449,40 @@ class Renderer:
             use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
         )
 
+    def raise_dup_for(self, out: FrameOutput) -> bool:
+        """Grow the dup window to a frame's measured max sprite span.
+
+        Returns True if the window grew (the frame that produced `out` lost
+        tiles; a re-render with the new window is lossless). Reads the
+        span scalars from the device — call on an already-materialized
+        frame (present) or when a sync is acceptable.
+        """
+        if int(out.truncated) == 0:
+            return False
+        gh = self.config.height // TILE_H
+        gw = self.config.width // TILE_W
+        new_y = max(self.dup_y, min(int(out.span_y), gh))
+        new_x = max(self.dup_x, min(int(out.span_x), gw))
+        if (new_y, new_x) == (self.dup_y, self.dup_x):
+            return False
+        self.dup_y, self.dup_x = new_y, new_x
+        return True
+
     def render(self, position, camera, particle_size, particle_intensity,
                num_draw=None) -> jax.Array:
-        """One frame (exact at any depth), tracking the truncation metric."""
+        """One frame (exact at any depth), tracking the truncation metric.
+
+        If the frame truncates sprite tiles (sprite bigger than the dup
+        window) and `auto_raise_dup` is on, the window grows to the
+        measured span and the frame re-renders — the result is lossless.
+        """
         out = self.render_arrays(
             position, camera, particle_size, particle_intensity, num_draw
         )
+        if self.auto_raise_dup and self.raise_dup_for(out):
+            out = self.render_arrays(
+                position, camera, particle_size, particle_intensity, num_draw
+            )
         self.last_overflow = int(out.overflow)
         self.last_truncated = int(out.truncated)
         return out.frame

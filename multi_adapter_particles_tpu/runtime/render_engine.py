@@ -137,6 +137,12 @@ class RenderEngine:
         latency-waitable-swapchain host wait (`Particles.cpp:452-456`)."""
         if self._frame is not None:
             sync(self._frame.frame)
+            if self.renderer.auto_raise_dup:
+                # Deferred auto-raise: a truncating frame (sprite bigger
+                # than the dup window) grows the window for FUTURE frames.
+                # The already-presented frame is not re-rendered — the next
+                # one is lossless (one recompile per growth).
+                self.renderer.raise_dup_for(self._frame)
         return self._frame
 
     @property

@@ -195,6 +195,59 @@ class TestTpuRenderer:
         assert frame.sum() == 0
 
 
+class TestAutoRaiseDup:
+    def test_size10_closeup_golden(self):
+        """GUI-size-10 sprites with a close camera span many tiles: the
+        auto-raised dup window makes the frame lossless (truncated == 0)
+        and pixel-exact vs the sequential NumPy oracle."""
+        rng = np.random.default_rng(7)
+        n = 24
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-20, 20, size=(n, 3)).astype(np.float32)
+        pos[:, 3] = rng.uniform(0, 9, size=n).astype(np.float32)
+        cfg = RenderConfig(width=256, height=256)
+        camera = cam.Camera(position=(0.0, 0.0, 60.0))
+
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        r = Renderer(cfg)
+        # sanity: the default 2x2 window really does truncate here
+        pre = r.render_arrays(st.position, camera, 10.0, 0.15)
+        assert int(pre.truncated) > 0
+        frame = np.asarray(r.render(st.position, camera, 10.0, 0.15))
+        assert r.last_truncated == 0
+        assert (r.dup_y, r.dup_x) > (2, 2)
+        golden = ref.render_reference(
+            pos, cfg, camera=camera, particle_size=10.0,
+            particle_intensity=0.15,
+        )
+        assert np.abs(frame - golden).max() < 2e-3
+
+    def test_present_raises_for_future_frames(self):
+        """The render engine's present() grows the window so the NEXT frame
+        is lossless (swapchain-style deferred adaptation)."""
+        import jax
+
+        from multi_adapter_particles_tpu.config import AppConfig
+        from multi_adapter_particles_tpu.models.state import ParticleState
+        from multi_adapter_particles_tpu.runtime.render_engine import (
+            RenderEngine,
+        )
+
+        pos = np.array([[0, 0, 0, 0]], dtype=np.float32)
+        st = ParticleState.from_aos(pos, np.zeros((1, 3), np.float32))
+        cfg = RenderConfig(width=256, height=256)
+        eng = RenderEngine(cfg, jax.devices("cpu")[0])
+        app = AppConfig(num_particles=1, particle_size=200.0)
+        out0 = eng.draw(st.position, app)
+        assert int(out0.truncated) > 0
+        eng.present()
+        assert (eng.renderer.dup_y, eng.renderer.dup_x) > (2, 2)
+        out1 = eng.draw(st.position, app)
+        assert int(out1.truncated) == 0
+
+
 class TestSegQInvariance:
     def test_result_independent_of_seg_q(self):
         """seg_q is a pure performance knob: any value gives the same image

@@ -121,6 +121,35 @@ def _potential_kernel_rfft(grid: int, box: float, eps2: float):
     return jnp.fft.rfftn(-jax.lax.rsqrt(d2))
 
 
+def _convolve_pruned(rho: jax.Array, kernel_rfft: jax.Array, g: int):
+    """Free-space convolution on the doubled grid with axis-pruned FFTs.
+
+    `jnp.fft.rfftn` on the zero-padded [2G, 2G, 2G] grid transforms the
+    zero half of every axis and inverse-transforms output that is sliced
+    away. Doing the axes one at a time prunes both ends:
+
+    forward  (input only [:G, :G, :G] nonzero):
+      rfft  axis 2 over G*G REAL pencils        (naive: 2G*2G complex)
+      fft   axis 1 over G*(G+1) pencils         (naive: 2G*(G+1))
+      fft   axis 0 over 2G*(G+1) pencils        (no saving)
+    inverse (output only [:G, :G, :G] kept):
+      ifft  axis 0, slice [:G]                  (no saving)
+      ifft  axis 1 over G*(G+1) pencils, slice
+      irfft axis 2 over G*G pencils, slice
+
+    ~2.5x fewer FFT flops and no materialized [2G, 2G, 2G] zero-pad.
+    Bitwise it differs from rfftn only by fp reassociation (same math).
+    """
+    g2 = 2 * g
+    f = jnp.fft.rfft(rho, n=g2, axis=2)            # [G, G, G+1]
+    f = jnp.fft.fft(f, n=g2, axis=1)               # [G, 2G, G+1]
+    f = jnp.fft.fft(f, n=g2, axis=0)               # [2G, 2G, G+1]
+    f = f * kernel_rfft
+    f = jnp.fft.ifft(f, axis=0)[:g]                # [G, 2G, G+1]
+    f = jnp.fft.ifft(f, axis=1)[:, :g]             # [G, G, G+1]
+    return jnp.fft.irfft(f, n=g2, axis=2)[:, :, :g]
+
+
 def solve_and_gather(
     rho: jax.Array,       # [G, G, G] deposited counts ([z, y, x])
     position: jax.Array,  # [4, N] — the particles to interpolate onto
@@ -135,15 +164,10 @@ def solve_and_gather(
     deposits into `rho` and then run this part locally on every device
     (traceable inside shard_map; jit-wrapped by the caller)."""
     g = grid
-    g2 = 2 * g
     h = box / g
-    rho_pad = jnp.zeros((g2, g2, g2), jnp.float32)
-    rho_pad = rho_pad.at[:g, :g, :g].set(rho)
-    phi = jnp.fft.irfftn(
-        jnp.fft.rfftn(rho_pad) * _potential_kernel_rfft(g, box,
-                                                        softening_squared),
-        s=(g2, g2, g2),
-    )[:g, :g, :g] * jnp.float32(g_const)
+    phi = _convolve_pruned(
+        rho, _potential_kernel_rfft(g, box, softening_squared), g
+    ) * jnp.float32(g_const)
 
     # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
     inv2h = jnp.float32(1.0 / (2.0 * h))

@@ -173,27 +173,39 @@ def _render(
     span_y = jnp.max(ty1 - ty0 + 1, where=nonempty, initial=0)
     span_x = jnp.max(tx1 - tx0 + 1, where=nonempty, initial=0)
 
-    # Multi-operand stable sort carries ALL sprite params as payloads — one
+    # Multi-operand stable sort carries the sprite params as payloads — one
     # sorting network instead of argsort + chains of random gathers
-    # (random access costs ~9-17 ns/element on TPU; measured, payload
-    # operands ride the comparator network for free: 9-op sort == 1-op).
-    # Degenerate sprites (hx == 0 from size 0, or w_clip == 0 at the eye
-    # plane) never bin to a tile, but their params still ride the sort as
-    # payloads of sentinel entries; a NaN/Inf there would poison composite
-    # pixels through `x * 0 == NaN`, so sanitize the geometry params.
-    inv2hx = jnp.nan_to_num(1.0 / (2.0 * hx), nan=0.0, posinf=0.0, neginf=0.0)
-    inv2hy = jnp.nan_to_num(1.0 / (2.0 * hy), nan=0.0, posinf=0.0, neginf=0.0)
+    # (random access costs ~9-17 ns/element on TPU). Payloads are NOT free
+    # at this size (measured @1M: key alone 2.9 ms, +7 payloads 17.6 ms —
+    # experiments/render_variants.py), so carry the MINIMUM 4 and derive
+    # the rest after the sort on the Q-aligned rows:
+    #   - 1/(2hx), 1/(2hy) are linear in w_clip (hx = radius*p00*W/2 / w),
+    #     so carry w_clip once and scale by per-frame scalars;
+    #   - cr = 1 - cb (the VS color rule);
+    #   - (cg, cb) pack as two f16 halves of one u32 lane (~2.5e-4 color
+    #     error, an order below the golden-test tolerance).
+    # Degenerate sprites (size 0, or w_clip == 0 at the eye plane) never
+    # bin to a tile, but their params still ride the sort as payloads of
+    # sentinel entries; NaN/Inf there would poison composite pixels
+    # through `x * 0 == NaN`, so sanitize the geometry params (post-sort
+    # for the w-derived extents).
     cx = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
     cy = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
+    # clamp cg below f16-inf: the blend clips source terms to [0, 1] anyway,
+    # and an f16 inf would NaN-poison dead slots through `inf * 0`
+    cgc = jnp.clip(cg, 0.0, 6.0e4)
+    cgb = (
+        jnp.left_shift(
+            cgc.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32), 16
+        )
+        | cb.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+    ).view(jnp.float32)
 
     def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
-    (sorted_key, s_cx, s_cy, s_ihx, s_ihy, s_cr, s_cg, s_cb) = jax.lax.sort(
-        (
-            key, expand(cx), expand(cy), expand(inv2hx), expand(inv2hy),
-            expand(cr), expand(cg), expand(cb),
-        ),
+    (sorted_key, s_cx, s_cy, s_w, s_cgb) = jax.lax.sort(
+        (key, expand(cx), expand(cy), expand(w_clip), expand(cgb)),
         dimension=0, num_keys=1, is_stable=True,
     )
 
@@ -250,20 +262,45 @@ def _render(
     hi_k = jnp.where(valid_v & (counts[tile_vc] > 0), hi_k, 0)
 
     kk = jnp.arange(q, dtype=jnp.int32)
-    valid_k = (kk[None, :] >= lo_k[:, None]) & (kk[None, :] < hi_k[:, None])
-    sa = jnp.where(valid_k, intensity, 0.0)  # [V, Q]; dead slots blend 0
+    # entry-valid mask built directly in the composite's [Q, V] layout
+    valid_k = (kk[:, None] >= lo_k[None, :]) & (kk[:, None] < hi_k[None, :])
+    t_sa = jnp.where(valid_k, intensity, 0.0)  # [Q, V]; dead slots blend 0
 
-    def rows(a):  # sorted per-entry [E] -> aligned rows [V, Q]
-        if e_pad:
-            # tail pad: beyond every tile's `ends`, never selected by masks
-            a = jnp.concatenate([a, jnp.zeros((e_pad,), a.dtype)])
-        return a.reshape(data_rows, q)[j_v]
+    # ONE packed row-gather: interleave the 4 sorted payloads per data row
+    # ([data_rows, 4*Q] rows), gather j_v once, then a single transpose to
+    # the [chan, Q, V] composite layout — measured 1.6x over 8 separate
+    # row-gathers + stack + transpose (experiments/render_variants.py).
+    payload = jnp.stack([s_cx, s_cy, s_w, s_cgb], axis=1)       # [E, 4]
+    if e_pad:
+        # tail pad: beyond every tile's `ends`, never selected by masks
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((e_pad, 4), payload.dtype)]
+        )
+    packed = payload.reshape(data_rows, q, 4)
+    packed = packed.transpose(0, 2, 1).reshape(data_rows, 4 * q)
+    spt = packed[j_v].reshape(num_rows, 4, q).transpose(1, 2, 0)  # [4, Q, V]
 
-    sp = jnp.stack(
-        [rows(s_cx), rows(s_cy), rows(s_ihx), rows(s_ihy),
-         rows(s_cr), rows(s_cg), rows(s_cb), sa],
-        axis=0,
-    )                                   # [8, V, Q]
+    # post-sort derivations on the [Q, V] planes (see sort comment above)
+    inv_sx = 1.0 / (radius * p00 * jnp.float32(width))
+    inv_sy = 1.0 / (radius * p11 * jnp.float32(height))
+    t_cx, t_cy, t_w = spt[0], spt[1], spt[2]
+    t_ihx = jnp.nan_to_num(
+        t_w * inv_sx, nan=0.0, posinf=0.0, neginf=0.0
+    )
+    t_ihy = jnp.nan_to_num(
+        t_w * inv_sy, nan=0.0, posinf=0.0, neginf=0.0
+    )
+    t_u = spt[3].view(jnp.uint32)
+    t_cb = (
+        (t_u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        .view(jnp.float16).astype(jnp.float32)
+    )
+    t_cg = (
+        jnp.right_shift(t_u, 16).astype(jnp.uint16)
+        .view(jnp.float16).astype(jnp.float32)
+    )
+    t_cr = 1.0 - t_cb
+    xs = (t_cx, t_cy, t_ihx, t_ihy, t_cr, t_cg, t_cb, t_sa)
 
     if use_pallas_composite:
         # VMEM-resident composite kernel: params in, (rgb, T) rows out —
@@ -279,14 +316,13 @@ def _render(
             ]
         )                               # [2, V]
         out4 = composite_rows_pallas(
-            sp.transpose(0, 2, 1), bases, TILE_H, TILE_W, blend=blend
+            jnp.stack(xs), bases, TILE_H, TILE_W, blend=blend
         )
         cr_v = out4[0].T
         cg_v = out4[1].T
         cb_v = out4[2].T
         tv = out4[3].T
     else:
-        xs = tuple(sp[c].T for c in range(8))  # each [Q, V]
         pxc_v = pxc[tile_vc]
         pyc_v = pyc[tile_vc]
 
@@ -400,6 +436,12 @@ class Renderer:
         self.auto_raise_dup = auto_raise_dup
         self.last_overflow = 0
         self.last_truncated = 0
+        # Per-frame scalar/device-argument cache: a static camera and
+        # unchanged size/intensity re-dispatch the same device scalars
+        # every frame; re-uploading them costs ~6 small host->device
+        # transfers per frame (milliseconds over a tunneled transport).
+        self._arg_key = None
+        self._arg_dev = None
 
     def resolve_seg_q(self, n: int, seg_q: Optional[int] = None) -> int:
         """Adaptive segment size: ~half the mean entries per tile, [32, 256]."""
@@ -431,14 +473,24 @@ class Renderer:
         )
         n = position.shape[1]
         q = self.resolve_seg_q(n, seg_q)
+        nd = int(n if num_draw is None else num_draw)
+        akey = (
+            wvp.tobytes(), float(proj[0, 0]), float(proj[1, 1]),
+            float(particle_size), float(particle_intensity), nd,
+        )
+        if akey != self._arg_key:
+            self._arg_dev = (
+                jnp.asarray(wvp),
+                jnp.float32(abs(proj[0, 0])),
+                jnp.float32(abs(proj[1, 1])),
+                jnp.float32(particle_size),
+                jnp.float32(particle_intensity),
+                jnp.int32(nd),
+            )
+            self._arg_key = akey
         return _render(
             position,
-            jnp.asarray(wvp),
-            jnp.float32(abs(proj[0, 0])),
-            jnp.float32(abs(proj[1, 1])),
-            jnp.float32(particle_size),
-            jnp.float32(particle_intensity),
-            jnp.int32(n if num_draw is None else num_draw),
+            *self._arg_dev,
             width=cfg.width,
             height=cfg.height,
             seg_q=q,

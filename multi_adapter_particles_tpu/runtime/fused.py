@@ -68,6 +68,9 @@ class FusedEngine:
         self.step_count = 0
         self.frame_count = 0
         self._frame = None
+        # per-frame scalar upload cache (see Renderer._arg_key)
+        self._arg_key = None
+        self._arg_dev = None
 
         cfg = sim_config
         if cfg.force_model == "central_well" and use_pallas:
@@ -157,15 +160,25 @@ class FusedEngine:
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         )
         n = self.state.padded_count
+        nd = int(n if num_draw is None else num_draw)
+        akey = (
+            wvp.tobytes(), float(proj[0, 0]), float(proj[1, 1]),
+            float(app.particle_size), float(app.particle_intensity), nd,
+        )
+        if akey != self._arg_key:
+            self._arg_dev = (
+                jnp.asarray(wvp),
+                jnp.float32(abs(proj[0, 0])),
+                jnp.float32(abs(proj[1, 1])),
+                jnp.float32(app.particle_size),
+                jnp.float32(app.particle_intensity),
+                jnp.int32(nd),
+            )
+            self._arg_key = akey
         new_state, self._frame = self._fused(
             self.state,
             self._scratch,
-            jnp.asarray(wvp),
-            jnp.float32(abs(proj[0, 0])),
-            jnp.float32(abs(proj[1, 1])),
-            jnp.float32(app.particle_size),
-            jnp.float32(app.particle_intensity),
-            jnp.int32(n if num_draw is None else num_draw),
+            *self._arg_dev,
             num_sim,
         )
         # ping-pong: frame N's buffers become next frame's scratch donor

@@ -1,9 +1,17 @@
 """Stage attribution inside the PM deposit and interpolation paths.
 
-Round-2 finding: at 4M/G=128 the step is deposit-bound (383 ms of 553),
-with interpolation second (~150 ms) and the FFT irrelevant (13 ms).
-This breaks the deposit into keys / sort / cumsum / bounds / gather and
-the interp into grad / pack / gather to find the real cost.
+Round-2 history @4M/G=128 on one v5e:
+- The ORIGINAL step was deposit-bound (383 ms of 553) and this profile
+  pinned it on `jnp.searchsorted` (320 ms — G³ binary searches over N
+  sorted keys). The merge-by-sort bounds (ops/pm.py `_segment_bounds`)
+  replaced it: deposit 383 -> ~72 ms.
+- The interp acc32 row-gather (153 ms fp32 in particle order) measured
+  NO faster issued in cell-sorted ascending order (160 ms + a 13 ms
+  payload-sort un-permute) — the cost is per-row-byte, not locality.
+  bf16 rows (64 B) were tried and REVERTED: trilinear interpolation at a
+  particle's own position depends on cancellation of its steep self-field
+  across the 8 corners, and half-precision storage broke it (7.5%
+  two-body far-field error). The gather stays particle-order fp32.
 
 Run on the real chip:  python experiments/pm_deposit_profile.py [N] [G]
 """
@@ -24,37 +32,25 @@ from multi_adapter_particles_tpu.ops import pm
 @functools.partial(jax.jit, static_argnames=("grid", "box", "stage"))
 def _deposit_upto(position, grid, box, stage):
     g = grid
-    i0, frac, inside = pm._cic_cells(position, grid, box)
     ncell = g * g * g
-    base = i0[2] * g * g + i0[1] * g + i0[0]
-    base = jnp.where(inside, base, ncell)
-    ws = [jnp.where(inside, w, 0.0) for w in pm._corner_weights(frac)]
-    if stage == "keys":
-        return base.sum() + sum(w.sum() for w in ws)
-
-    sorted_ops = jax.lax.sort(
-        (base, *ws), dimension=0, num_keys=1, is_stable=False
-    )
-    sbase = sorted_ops[0]
+    sbase, sfrac = pm._sort_by_cell(position, grid, box)
     if stage == "sort":
-        return sbase.sum() + sum(o.sum() for o in sorted_ops[1:])
+        return sbase.sum() + sum(f.sum() for f in sfrac)
 
-    sw8 = jnp.stack(sorted_ops[1:], axis=1)
+    bounds = pm._segment_bounds(sbase, ncell)
+    if stage == "bounds":
+        return bounds.sum() + sbase.sum()
+
+    live = sbase < ncell
+    sw8 = jnp.stack(
+        [jnp.where(live, w, 0.0) for w in pm._corner_weights(sfrac)], axis=1
+    )
     csum = jnp.concatenate(
         [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(sw8, axis=0)]
     )
-    if stage == "cumsum":
-        return csum[-1].sum() + sbase.sum()
-
-    bounds = jnp.searchsorted(
-        sbase, jnp.arange(ncell + 1, dtype=jnp.int32), side="left"
-    )
-    if stage == "bounds":
-        return bounds.sum() + csum[-1].sum()
-
     at_bounds = csum[bounds]
     hist8 = at_bounds[1:] - at_bounds[:-1]
-    if stage == "gather":
+    if stage == "cumsum+gather":
         return hist8.sum()
 
     rho = jnp.zeros((g, g, g), jnp.float32)
@@ -70,37 +66,17 @@ def _deposit_upto(position, grid, box, stage):
     return rho.sum()
 
 
-@functools.partial(
-    jax.jit, static_argnames=("grid", "box", "stage")
-)
+@functools.partial(jax.jit, static_argnames=("grid", "box", "stage"))
 def _interp_upto(rho, position, grid, box, stage):
     g = grid
-    h = box / g
-    phi = pm._convolve_pruned(
-        rho, pm._potential_kernel_rfft(g, box, 25.0), g
-    ) * jnp.float32(70000.0)
-    inv2h = jnp.float32(1.0 / (2.0 * h))
-    zero = jnp.zeros_like(phi)
-    ax = zero.at[:, :, 1:-1].set((phi[:, :, :-2] - phi[:, :, 2:]) * inv2h)
-    ay = zero.at[:, 1:-1, :].set((phi[:, :-2, :] - phi[:, 2:, :]) * inv2h)
-    az = zero.at[1:-1, :, :].set((phi[:-2, :, :] - phi[2:, :, :]) * inv2h)
-    if stage == "grad":
-        return ax.sum() + ay.sum() + az.sum()
-
-    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)
-    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
-    corners = [
-        a4p[dz:dz + g, dy:dy + g, dx:dx + g].reshape(g * g * g, 4)
-        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
-    ]
-    acc32 = jnp.concatenate(corners, axis=1)
-    if stage == "pack":
-        return acc32.sum()
+    acc32 = pm._accel_rows(rho, g, box, 70000.0, 25.0)
+    if stage == "grad+pack":
+        return acc32.astype(jnp.float32).sum()
 
     i0, frac, inside = pm._cic_cells(position, g, box)
     i0c = jnp.clip(i0, 0, g - 2)
     cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
-    rows = acc32[cid].reshape(position.shape[1], 8, 4)
+    rows = acc32[cid].astype(jnp.float32).reshape(position.shape[1], 8, 4)
     if stage == "rowgather":
         return rows.sum()
 
@@ -121,7 +97,7 @@ def main() -> int:
     print(f"backend={jax.default_backend()} n={n} grid={g}", flush=True)
 
     prev = 0.0
-    for stage in ("keys", "sort", "cumsum", "bounds", "gather", "full"):
+    for stage in ("sort", "bounds", "cumsum+gather", "full"):
         out = _deposit_upto(pos, g, box, stage)
         float(out)
         t0 = time.perf_counter()
@@ -129,14 +105,14 @@ def main() -> int:
             out = _deposit_upto(pos, g, box, stage)
         float(out)
         ms = (time.perf_counter() - t0) * 1000 / reps
-        print(f"deposit {stage:>7}: {ms:8.2f} ms cumulative (+{ms - prev:7.2f})",
+        print(f"deposit {stage:>13}: {ms:8.2f} ms cumulative (+{ms - prev:7.2f})",
               flush=True)
         prev = ms
 
     rho = jax.jit(functools.partial(pm.deposit_cic, grid=g, box=box))(pos)
     float(rho[0, 0, 0])
     prev = 0.0
-    for stage in ("grad", "pack", "rowgather", "full"):
+    for stage in ("grad+pack", "rowgather", "full"):
         out = _interp_upto(rho, pos, g, box, stage)
         float(out)
         t0 = time.perf_counter()
@@ -144,9 +120,22 @@ def main() -> int:
             out = _interp_upto(rho, pos, g, box, stage)
         float(out)
         ms = (time.perf_counter() - t0) * 1000 / reps
-        print(f"interp  {stage:>9}: {ms:8.2f} ms cumulative (+{ms - prev:7.2f})",
+        print(f"interp  {stage:>13}: {ms:8.2f} ms cumulative (+{ms - prev:7.2f})",
               flush=True)
         prev = ms
+
+    # end-to-end pm_accel
+    f = jax.jit(functools.partial(
+        pm.pm_accel, grid=g, box=box, g_const=70000.0,
+        softening_squared=25.0))
+    acc = f(pos)
+    float(acc[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        acc = f(pos)
+    float(acc[0, 0])
+    ms = (time.perf_counter() - t0) * 1000 / reps
+    print(f"pm_accel end-to-end: {ms:8.2f} ms", flush=True)
     return 0
 
 

@@ -15,18 +15,28 @@ for separations ≳ 2 cells; sub-cell structure is smoothed by CIC + the
 finite-difference stencil.
 
 TPU-native construction (FFTs lower to matmuls on TPU — the MXU does the
-field solve) with no scatters anywhere:
-- **Deposit**: ONE stable sort of base cell ids carrying all 8 CIC corner
-  weights as payloads (payloads ride the comparator network for free),
-  then per corner a cumsum difference at cell boundaries — and because a
-  corner's cell id is the base id plus a constant offset, its histogram is
-  just the base histogram SHIFTED: 1 sort + 1 searchsorted total.
-- **Solve**: rfftn(padded counts) x cached kernel rfft -> irfftn: 2 FFTs
-  per step (vs 4 with spectral gradients; the FFT dominates on TPU).
+field solve) with no scatters and no binary searches anywhere; everything
+irregular is a sort (the TPU's scatter):
+- **Deposit**: ONE sort of base cell ids carrying the three CIC fractions
+  (the 8 corner weights are recomputed post-sort — payloads cost
+  per-operand). Per-cell boundaries come from a merge-by-sort (profiled
+  on v5e @4M/G=128: `jnp.searchsorted` with G³ queries costs 320 ms —
+  84% of the whole deposit — while two extra cheap sorts cost ~7 ms):
+  sort `concat(2*cells, 2*keys+1)`, compact the even (query) entries
+  with a second keyed sort, and read boundary positions off the result.
+  Then one cumsum over the 8 corner-weight channels + ONE row-gather at
+  the boundaries gives all 8 shifted histograms (a corner's cell id is
+  the base id plus a constant offset, so its histogram is the base
+  histogram SHIFTED).
+- **Solve**: rfft(counts) x cached kernel rfft -> irfft with both ends of
+  every axis pruned (free-space/zero-padded): 2 FFT sets per step.
 - **Differentiate**: 2nd-order central differences on the potential grid.
-- **Interpolate**: the 3 accel grids pack into [G³, 4] rows so the 8 CIC
-  corners cost 8 row-gathers (a 16 B row costs one memory transaction,
-  same as 4 B).
+- **Interpolate**: the whole 2x2x2 accel neighborhood packs into one
+  32-float row per cell ([G³, 32]) so trilinear interpolation costs a
+  single row-gather per particle. The gather cost is per-row-byte, not
+  locality (a cell-sorted issue order measured NO faster than particle
+  order), and the rows must stay fp32: the self-field cancellation
+  across corners breaks in bf16 (see `_accel_rows`).
 """
 
 from __future__ import annotations
@@ -64,30 +74,65 @@ def _corner_weights(frac):
     return ws
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "box"))
-def deposit_cic(position: jax.Array, grid: int, box: float) -> jax.Array:
-    """[4, N] positions -> CIC count grid [G, G, G] ([z, y, x], unit mass).
+def _sort_by_cell(position: jax.Array, grid: int, box: float):
+    """Sort particles by CIC base cell id.
 
-    Out-of-box particles (incl. the 1e9 padding) are dropped via a
-    sentinel cell id that sorts past the histogram range.
+    Returns (sbase, sfrac): base cell ids ascending (out-of-box and
+    padding parked at the ncell sentinel, which sorts last) with the three
+    CIC fractions carried as payloads. The 8 corner weights are recomputed
+    post-sort — cheaper than carrying 8 sort operands (payloads cost
+    per-operand; fractions are 3).
     """
     g = grid
     i0, frac, inside = _cic_cells(position, grid, box)
     ncell = g * g * g
     base = i0[2] * g * g + i0[1] * g + i0[0]
     base = jnp.where(inside, base, ncell)
-    ws = [jnp.where(inside, w, 0.0) for w in _corner_weights(frac)]
+    sbase, sfx, sfy, sfz = jax.lax.sort(
+        (base, frac[0], frac[1], frac[2]),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    return sbase, (sfx, sfy, sfz)
 
-    sorted_ops = jax.lax.sort(
-        (base, *ws), dimension=0, num_keys=1, is_stable=False
-    )
-    sbase = sorted_ops[0]
-    bounds = jnp.searchsorted(
-        sbase, jnp.arange(ncell + 1, dtype=jnp.int32), side="left"
-    )
+
+def _segment_bounds(sbase: jax.Array, ncell: int) -> jax.Array:
+    """bounds[c] = #{i : sbase[i] < c} for c in 0..ncell, WITHOUT
+    `jnp.searchsorted` (G³ binary searches over N sorted keys measured
+    320 ms @4M/G=128 on v5e — 84% of the deposit). Merge-by-sort instead:
+
+    - sort concat(2c for the G³+1 query cells, 2k+1 for the particle keys):
+      query c lands immediately BEFORE the keys equal to c (side='left'),
+      so its merged position is bounds[c] + c;
+    - recover those positions by a second 2-op sort that compacts the even
+      (query) entries to the front carrying their merged index.
+
+    Two cheap sorts (~25 ms total at the same size) — bitwise identical
+    bounds to the searchsorted they replace.
+    """
+    m = sbase.shape[0]
+    queries = jnp.arange(ncell + 1, dtype=jnp.int32) * 2
+    merged = jnp.concatenate([queries, sbase * 2 + 1])
+    (ms,) = jax.lax.sort((merged,), dimension=0, num_keys=1, is_stable=False)
+    jpos = jnp.arange(m + ncell + 1, dtype=jnp.int32)
+    # park particle entries past the largest query key (2*ncell) so the
+    # compaction sort brings the ncell+1 query positions to the front in
+    # cell order
+    kc = jnp.where((ms & 1) == 0, ms, jnp.int32(2 * ncell + 3))
+    _, jq = jax.lax.sort((kc, jpos), dimension=0, num_keys=1, is_stable=False)
+    return jq[: ncell + 1] - jnp.arange(ncell + 1, dtype=jnp.int32)
+
+
+def _deposit_sorted(sbase, sfrac, grid: int) -> jax.Array:
+    """Sorted cell ids + fractions -> CIC count grid [G, G, G]."""
+    g = grid
+    ncell = g * g * g
+    live = sbase < ncell
+    sw8 = jnp.stack(
+        [jnp.where(live, w, 0.0) for w in _corner_weights(sfrac)], axis=1
+    )                                                  # [N, 8]
+    bounds = _segment_bounds(sbase, ncell)
     # all 8 corner weights in ONE cumsum pass + ONE row-gather at the
     # boundaries (vs 8 separate scans and element-gathers)
-    sw8 = jnp.stack(sorted_ops[1:], axis=1)            # [N, 8]
     csum = jnp.concatenate(
         [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(sw8, axis=0)]
     )                                                  # [N+1, 8]
@@ -107,6 +152,17 @@ def deposit_cic(position: jax.Array, grid: int, box: float) -> jax.Array:
     return rho
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "box"))
+def deposit_cic(position: jax.Array, grid: int, box: float) -> jax.Array:
+    """[4, N] positions -> CIC count grid [G, G, G] ([z, y, x], unit mass).
+
+    Out-of-box particles (incl. the 1e9 padding) are dropped via a
+    sentinel cell id that sorts past the histogram range.
+    """
+    sbase, sfrac = _sort_by_cell(position, grid, box)
+    return _deposit_sorted(sbase, sfrac, grid)
+
+
 def _potential_kernel_rfft(grid: int, box: float, eps2: float):
     """rfft of phi(r) = -(|r|²+eps²)^{-1/2} on the doubled grid (min-image
     offsets). Pure function of statics — constant-folded under jit."""
@@ -119,6 +175,24 @@ def _potential_kernel_rfft(grid: int, box: float, eps2: float):
     rx = off[None, None, :]
     d2 = rx * rx + ry * ry + rz * rz + jnp.float32(eps2)
     return jnp.fft.rfftn(-jax.lax.rsqrt(d2))
+
+
+def _rfft_pruned(rho: jax.Array, g: int):
+    """Forward half of the axis-pruned free-space transform (see
+    `_convolve_pruned`): [G, G, G] real -> [2G, 2G, G+1] spectrum."""
+    g2 = 2 * g
+    f = jnp.fft.rfft(rho, n=g2, axis=2)            # [G, G, G+1]
+    f = jnp.fft.fft(f, n=g2, axis=1)               # [G, 2G, G+1]
+    return jnp.fft.fft(f, n=g2, axis=0)            # [2G, 2G, G+1]
+
+
+def _irfft_pruned(f: jax.Array, g: int):
+    """Inverse half: [2G, 2G, G+1] spectrum -> [G, G, G] real, slicing
+    the padded half of each axis away as soon as it is inverse-done."""
+    g2 = 2 * g
+    f = jnp.fft.ifft(f, axis=0)[:g]                # [G, 2G, G+1]
+    f = jnp.fft.ifft(f, axis=1)[:, :g]             # [G, G, G+1]
+    return jnp.fft.irfft(f, n=g2, axis=2)[:, :, :g]
 
 
 def _convolve_pruned(rho: jax.Array, kernel_rfft: jax.Array, g: int):
@@ -140,14 +214,56 @@ def _convolve_pruned(rho: jax.Array, kernel_rfft: jax.Array, g: int):
     ~2.5x fewer FFT flops and no materialized [2G, 2G, 2G] zero-pad.
     Bitwise it differs from rfftn only by fp reassociation (same math).
     """
-    g2 = 2 * g
-    f = jnp.fft.rfft(rho, n=g2, axis=2)            # [G, G, G+1]
-    f = jnp.fft.fft(f, n=g2, axis=1)               # [G, 2G, G+1]
-    f = jnp.fft.fft(f, n=g2, axis=0)               # [2G, 2G, G+1]
-    f = f * kernel_rfft
-    f = jnp.fft.ifft(f, axis=0)[:g]                # [G, 2G, G+1]
-    f = jnp.fft.ifft(f, axis=1)[:, :g]             # [G, G, G+1]
-    return jnp.fft.irfft(f, n=g2, axis=2)[:, :, :g]
+    return _irfft_pruned(_rfft_pruned(rho, g) * kernel_rfft, g)
+
+
+def _accel_rows(
+    rho: jax.Array, grid: int, box: float, g_const: float,
+    softening_squared: float,
+) -> jax.Array:
+    """Field solve + gradient -> packed [G³, 32] accel-neighborhood rows.
+
+    The whole 2x2x2 corner neighborhood packs into ONE 32-float row per
+    base cell (grids are [z, y, x]; cid = z*g*g + y*g + x), so trilinear
+    interpolation costs a single row-gather per particle instead of 8."""
+    g = grid
+    h = box / g
+    phi = _convolve_pruned(
+        rho, _potential_kernel_rfft(g, box, softening_squared), g
+    ) * jnp.float32(g_const)
+
+    # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
+    inv2h = jnp.float32(1.0 / (2.0 * h))
+    zero = jnp.zeros_like(phi)
+    ax = zero.at[:, :, 1:-1].set((phi[:, :, :-2] - phi[:, :, 2:]) * inv2h)
+    ay = zero.at[:, 1:-1, :].set((phi[:, :-2, :] - phi[:, 2:, :]) * inv2h)
+    az = zero.at[1:-1, :, :].set((phi[:-2, :, :] - phi[2:, :, :]) * inv2h)
+
+    # The rows stay fp32: trilinear interpolation at a particle's own
+    # location relies on CANCELLATION of its steep self-field across the
+    # 8 corners (corner values can be ~300x the far-field signal), and
+    # bf16 storage was measured to break it (7.5% two-body far-field
+    # error vs <1% in fp32). The smooth long-range kernel of ops/p3m.py
+    # has no self-blob and can afford half-width rows; this one cannot.
+    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)  # [g, g, g, 4]
+    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    corners = [
+        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    return jnp.concatenate(corners, axis=1)             # [G³, 32]
+
+
+def _interp(acc32, position, grid: int, box: float) -> jax.Array:
+    """Trilinear gather-back in particle order -> accel [3, N]."""
+    g = grid
+    i0, frac, inside = _cic_cells(position, g, box)
+    i0c = jnp.clip(i0, 0, g - 2)
+    cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
+    rows = acc32[cid].reshape(position.shape[1], 8, 4)  # ONE row-gather
+    w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
+    acc = jnp.sum(rows * w8[:, :, None], axis=1)        # [N, 4]
+    return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
 
 
 def solve_and_gather(
@@ -163,38 +279,8 @@ def solve_and_gather(
     Split out from `pm_accel` so the sharded step can psum per-shard
     deposits into `rho` and then run this part locally on every device
     (traceable inside shard_map; jit-wrapped by the caller)."""
-    g = grid
-    h = box / g
-    phi = _convolve_pruned(
-        rho, _potential_kernel_rfft(g, box, softening_squared), g
-    ) * jnp.float32(g_const)
-
-    # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
-    inv2h = jnp.float32(1.0 / (2.0 * h))
-    zero = jnp.zeros_like(phi)
-    ax = zero.at[:, :, 1:-1].set((phi[:, :, :-2] - phi[:, :, 2:]) * inv2h)
-    ay = zero.at[:, 1:-1, :].set((phi[:, :-2, :] - phi[:, 2:, :]) * inv2h)
-    az = zero.at[1:-1, :, :].set((phi[:-2, :, :] - phi[2:, :, :]) * inv2h)
-
-    # Pack the whole 2x2x2 neighborhood into ONE 32-float row per base cell
-    # (grids are [z, y, x]; deposit cid = z*g*g + y*g + x), so trilinear
-    # interpolation costs a single row-gather per particle instead of 8 —
-    # random-access rows dominate PM cost at multi-million N.
-    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)  # [g, g, g, 4]
-    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
-    corners = [
-        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
-        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
-    ]
-    acc32 = jnp.concatenate(corners, axis=1)            # [G^3, 32]
-
-    i0, frac, inside = _cic_cells(position, g, box)
-    i0c = jnp.clip(i0, 0, g - 2)
-    cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
-    rows = acc32[cid].reshape(position.shape[1], 8, 4)  # ONE gather
-    w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
-    acc = jnp.sum(rows * w8[:, :, None], axis=1)        # [N, 4]
-    return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
+    acc32 = _accel_rows(rho, grid, box, g_const, softening_squared)
+    return _interp(acc32, position, grid, box)
 
 
 @functools.partial(

@@ -35,6 +35,20 @@ class TestDeposit:
         rho = pm.deposit_cic(aos(pos3), grid=32, box=2048.0)
         assert float(jnp.sum(rho)) == pytest.approx(1.0, rel=1e-6)
 
+    def test_segment_bounds_matches_searchsorted(self):
+        """The merge-by-sort bounds are bitwise the searchsorted they
+        replaced (side='left'), incl. empty cells and sentinel keys."""
+        rng = np.random.default_rng(7)
+        ncell = 64
+        keys = np.sort(
+            rng.integers(0, ncell + 1, size=500).astype(np.int32)
+        )  # includes sentinel ncell entries
+        got = np.asarray(pm._segment_bounds(jnp.asarray(keys), ncell))
+        want = np.searchsorted(
+            keys, np.arange(ncell + 1, dtype=np.int32), side="left"
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_single_particle_at_node(self):
         # particle exactly on a grid node -> all mass in one cell
         g, box = 32, 2048.0

@@ -57,12 +57,20 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_int("steps", "number of frames to run (0 = forever)",
               lambda v: extra.__setitem__("steps", v))
     p.add_int("seed", "init RNG seed", lambda v: extra.__setitem__("seed", v))
-    p.add_str("force", "force model: central_well | all_pairs | pm_grid",
+    p.add_str("force", "force model: central_well | all_pairs | pm_grid | p3m",
               lambda v: extra.__setitem__("force", v))
     p.add_float("interactionscale",
                 "per-pair force multiplier (use 1/N to keep the total mass "
                 "at the central-well value for self-gravity models)",
                 lambda v: extra.__setitem__("interaction_scale", v))
+    p.add_int("pmgrid", "pm_grid/p3m mesh resolution per axis",
+              lambda v: extra.__setitem__("pm_grid_size", v))
+    p.add_float("pmbox", "pm_grid/p3m box extent (world units)",
+                lambda v: extra.__setitem__("pm_box", v))
+    p.add_float("p3mcutoff", "p3m short-range cutoff in mesh cells",
+                lambda v: extra.__setitem__("p3m_cutoff_cells", v))
+    p.add_int("p3mcapacity", "p3m near-cell particle capacity",
+              lambda v: extra.__setitem__("p3m_capacity", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_int("computeadapter", "compute adapter index",
@@ -139,6 +147,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_particles=app_cfg.num_particles,
         force_model=extra.get("force", "central_well"),
         interaction_scale=extra.get("interaction_scale", 1.0),
+        pm_grid_size=extra.get("pm_grid_size", SimConfig.pm_grid_size),
+        pm_box=extra.get("pm_box", SimConfig.pm_box),
+        p3m_cutoff_cells=extra.get(
+            "p3m_cutoff_cells", SimConfig.p3m_cutoff_cells
+        ),
+        p3m_capacity=extra.get("p3m_capacity", SimConfig.p3m_capacity),
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),

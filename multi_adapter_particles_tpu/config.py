@@ -38,19 +38,28 @@ class SimConfig:
     # 'pm_grid'      = FFT particle-mesh self-gravity (ops/pm.py): the same
     #                  pair law as all_pairs, O(N + G^3 log G) — exceeds the
     #                  reference (interactive self-gravity at 4M particles).
+    # 'p3m'          = PM far field + exact pairwise near field (ops/p3m.py):
+    #                  converges to the all_pairs force at EVERY separation.
     force_model: str = "central_well"
     # Multiplier applied per interaction in the all-pairs model — the
     # `particles` argument of bodyBodyInteraction (nBodyGravityCS.hlsl:54).
     interaction_scale: float = 1.0
-    # pm_grid parameters: mesh resolution per axis and box extent (world
+    # pm_grid/p3m parameters: mesh resolution per axis and box extent (world
     # units); particles outside the box feel/exert no PM force.
     pm_grid_size: int = 64
     pm_box: float = 2048.0
+    # p3m parameters: short-range cutoff in PM cells, and the static
+    # per-near-cell particle capacity (overflowing particles keep the
+    # smooth mesh force only; the overflow count is a runtime metric).
+    p3m_cutoff_cells: float = 6.75
+    p3m_capacity: int = 64
 
     def __post_init__(self):
         if self.num_particles <= 0:
             raise ValueError("num_particles must be positive")
-        if self.force_model not in ("central_well", "all_pairs", "pm_grid"):
+        if self.force_model not in (
+            "central_well", "all_pairs", "pm_grid", "p3m"
+        ):
             raise ValueError(f"unknown force_model {self.force_model!r}")
 
 

@@ -172,6 +172,17 @@ def make_step(
                 grid=config.pm_grid_size,
                 box=config.pm_box,
             )
+        elif config.force_model == "p3m":
+            from multi_adapter_particles_tpu.ops import p3m
+
+            accel_fn = p3m.make_accel_fn(
+                mass=config.mass * config.interaction_scale,
+                softening_squared=config.softening_squared,
+                grid=config.pm_grid_size,
+                box=config.pm_box,
+                cutoff_cells=config.p3m_cutoff_cells,
+                capacity=config.p3m_capacity,
+            )
         else:
             mask = None  # padding mask applied by caller via closure below
 

@@ -1,0 +1,307 @@
+"""P³M (particle-particle particle-mesh): exact-at-all-separations gravity.
+
+Extends the PM force model (`ops/pm.py`) the Hockney & Eastwood way: an
+Ewald split of the softened pair factor s(r) = (r²+eps²)^(-3/2),
+
+    s_long  = g_l(r; σ_eff)   the field of a Gaussian-smoothed source,
+                              solved on the mesh
+    s_short = s - s_long      summed pairwise, decayed to ≤1.4e-4 of s
+                              by r_c = 4.5 σ_eff
+
+with σ_eff tied to the mesh cell (default 1.5h). The mesh convolves the
+ANALYTIC long-range acceleration kernels (no finite-difference
+truncation) tabulated at σ_tab = sqrt(σ_eff² - h²/3), so the variance
+the CIC deposit+interp windows add composes to exactly σ_eff — the
+delivered mesh pair response IS g_l(σ_eff), with no spectral
+deconvolution and hence no amplified aliasing noise. The short-range
+remainder is summed over the 27-cell neighborhood of a binning grid
+whose cell size >= r_c. The model therefore converges to the exact
+all-pairs force at EVERY separation instead of only beyond ~2 cells;
+`tests/test_p3m.py` pins the accuracy vs `integrator.all_pairs_accel`.
+
+This force model has no counterpart in the reference (which offers the
+O(N) central well of `particleCS.hlsl` and the O(N²) exact sum of
+`nBodyGravityCS.hlsl:44-57`); it uses the same pair law and softening as
+the latter so it slots in as `force_model="p3m"`.
+
+TPU-native construction, same toolbox as `ops/pm.py` (sorts, not
+scatters; shifted slices, not neighbor gathers):
+- Binning: one sort by near-cell id carrying (x, y, z, pid); per-cell
+  slot table [Gn³, K] built from merge-by-sort segment bounds. K
+  (`capacity`) is static; overflowing particles simply receive no
+  short-range correction (they keep the smooth mesh force) and the
+  overflow count is returned as a diagnostic.
+- Pair sweep: the 27 neighbor cells are SHIFTED SLICES of the padded
+  [Gn, Gn, Gn, K, 4] slot tensor — zero gathers — and empty slots are
+  parked at 1e9 where the correction formula underflows to exactly 0
+  (exp(-1e18) = 0), so the inner K x K x 27 sweep needs no masks at all.
+- Un-binning: slot forces return to particle order via one payload sort
+  on the particle id (the inverse permutation is a sort, not a scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from multi_adapter_particles_tpu.ops import pm
+
+
+_SIGMA_PER_CUTOFF = 1.0 / 4.5   # sigma_eff = r_c/4.5: tail there ≈ 1.4e-4
+_CIC2_VARIANCE_CELLS = 1.0 / 3.0  # variance added by deposit+interp CIC, h²
+
+
+def _g_long(d2, sigma):
+    """Ewald long-range pair factor for a Gaussian-smoothed unit source:
+
+        g_l(r) = [erf(r/√2σ) - √(2/π)(r/σ) e^(-r²/2σ²)] / r³
+
+    (accel = g_l * r_vec). Analytic C^∞; ~1/r³ beyond ~4σ; finite at 0.
+    The r³ division is guarded so r = 0 (self-pairs, parked-slot pairs)
+    evaluates to 0 — those contributions multiply r_vec = 0 anyway."""
+    r = jnp.sqrt(d2)
+    u = r * jnp.float32(1.0 / (jnp.sqrt(2.0) * sigma))
+    num = jax.scipy.special.erf(u) - jnp.float32(
+        jnp.sqrt(2.0 / jnp.pi) / sigma
+    ) * r * jnp.exp(d2 * jnp.float32(-0.5 / sigma**2))
+    return num / jnp.maximum(d2 * r, jnp.float32(1e-30))
+
+
+def _short_factor(d2, eps2, sigma_eff):
+    """s_short(r): accel = g * s_short * r_vec for the pair correction.
+
+    Hockney & Eastwood reference-force split with the MESH RESPONSE as the
+    long part: s_short = s_exact - g_l(r; σ_eff), where
+
+        s_exact = (d²+eps²)^(-3/2)
+        g_l     = the Ewald factor of a Gaussian source of width σ_eff
+
+    and σ_eff² = σ_tab² + h²/3: the mesh tabulates a σ_tab Gaussian-source
+    kernel and the CIC deposit+interp windows add h²/3 of variance, so
+    what the mesh DELIVERS between two particles is g_l(σ_eff) — which is
+    exactly what this subtracts. Two alternatives were measured and
+    rejected on the way here (two-body sweeps, G=32 box=2048):
+    - C² polynomial switch + spectral CIC deconvolution: the kernel is
+      only C¹, deconvolution makes the mesh response RING, ±5-22%;
+    - Gaussian switch on the SOFTENED factor + full sinc⁻⁴ deconvolution:
+      bias gone but deconvolution amplifies aliasing noise to 11-26% sd
+      at sub-2-cell separations (vs ≤4.5% undeconvolved).
+    Matching variances instead needs NO deconvolution: low noise and no
+    smearing bias. Softening lives only in s_exact (it is ≤0.1% of the
+    force beyond 2 cells, where the mesh share matters).
+
+    Beyond r_c = 4.5 σ_eff the factor has decayed to ≤1.4e-4 of exact
+    (the truncation the 27-cell neighborhood implies); parked 1e9 slots
+    evaluate to ~1e-27 and underflow harmlessly."""
+    inv = jax.lax.rsqrt(d2 + jnp.float32(eps2))
+    s_exact = inv * inv * inv
+    return s_exact - _g_long(d2, sigma_eff)
+
+
+def _long_grad_kernels_rfft(grid: int, box: float, eps2: float, r_c: float):
+    """rffts of the ANALYTIC acceleration kernels
+    K_axis(v) = -g_l(|v|; σ_tab) v_axis on the doubled grid (min-image
+    offsets). Pure function of statics — constant-folded under jit.
+
+    Tabulating the gradient analytically (3 inverse FFT sets instead of 1)
+    removes the 2nd-order finite-difference truncation error that caps
+    pure PM at ~5%. K(0) = 0: no self-peak.
+
+    σ_tab = sqrt(σ_eff² - h²/3) pre-compensates the variance the CIC
+    deposit+interp windows add (h²/6 each), so the DELIVERED mesh pair
+    response is g_l(σ_eff) — matching `_short_factor`'s subtraction with
+    no spectral deconvolution (see there for the measured failure modes
+    of the deconvolving alternatives)."""
+    g2 = 2 * grid
+    h = box / grid
+    sigma_eff = r_c * _SIGMA_PER_CUTOFF
+    sigma_tab = float(
+        (sigma_eff**2 - _CIC2_VARIANCE_CELLS * h * h) ** 0.5
+    )
+    m = jnp.arange(g2)
+    off = (((m + grid) % g2) - grid).astype(jnp.float32) * h
+    rz = off[:, None, None]
+    ry = off[None, :, None]
+    rx = off[None, None, :]
+    d2 = rx * rx + ry * ry + rz * rz
+    s_long = _g_long(d2, sigma_tab)
+    return (
+        jnp.fft.rfftn(-s_long * rx),
+        jnp.fft.rfftn(-s_long * ry),
+        jnp.fft.rfftn(-s_long * rz),
+    )
+
+
+def _accel_rows_long(rho, grid: int, box: float, g_const: float,
+                     eps2: float, r_c: float):
+    """Long-range field solve -> packed [G³, 32] rows (the analog of
+    `pm._accel_rows` with analytic gradient kernels: one shared forward
+    transform, three pruned inverses)."""
+    g = grid
+    kx, ky, kz = _long_grad_kernels_rfft(g, box, eps2, r_c)
+    fr = pm._rfft_pruned(rho, g)
+    scale = jnp.float32(g_const)
+    ax = pm._irfft_pruned(fr * kx, g) * scale
+    ay = pm._irfft_pruned(fr * ky, g) * scale
+    az = pm._irfft_pruned(fr * kz, g) * scale
+
+    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)
+    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    corners = [
+        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    return jnp.concatenate(corners, axis=1)
+
+
+def _bin_particles(position, gn: int, hn: float, capacity: int):
+    """Sort by near-cell, build the [Gn³, K] slot table.
+
+    Returns (slots [ncell, K, 4] with empty slots parked at 1e9,
+    scid, spid, bounds, overflow_count)."""
+    n = position.shape[1]
+    ncell = gn * gn * gn
+    u = position[:3] / jnp.float32(hn) + jnp.float32(gn / 2)
+    ib = jnp.floor(u).astype(jnp.int32)
+    inbox = jnp.all((ib >= 0) & (ib <= gn - 1), axis=0)
+    cid = ib[2] * gn * gn + ib[1] * gn + ib[0]
+    cid = jnp.where(inbox, cid, ncell)
+    pid = jnp.arange(n, dtype=jnp.int32)
+    scid, sx, sy, sz, spid = jax.lax.sort(
+        (cid, position[0], position[1], position[2], pid),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    bounds = pm._segment_bounds(scid, ncell)
+    counts = bounds[1:] - bounds[:-1]                       # [ncell]
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
+
+    # slot index table; out-of-range slots point at the sentinel row n
+    k = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    slot_idx = bounds[:-1, None] + k                        # [ncell, K]
+    slot_idx = jnp.where(k < counts[:, None], slot_idx, n)
+    park = jnp.float32(1.0e9)
+    spos4 = jnp.stack(
+        [jnp.append(sx, park), jnp.append(sy, park),
+         jnp.append(sz, park), jnp.zeros(n + 1, jnp.float32)], axis=1,
+    )                                                       # [n+1, 4] rows
+    slots = spos4[slot_idx]                                 # [ncell, K, 4]
+    return slots, scid, spid, bounds, overflow
+
+
+def _near_sweep(slots, gn: int, capacity: int, g_const: float,
+                eps2: float, r_c: float):
+    """27-offset shifted-slice pair sweep -> slot forces [Gn³, K, 3]."""
+    k = capacity
+    sigma = r_c * _SIGMA_PER_CUTOFF
+    grid5 = slots.reshape(gn, gn, gn, k, 4)
+    pad = jnp.full((gn + 2, gn + 2, gn + 2, k, 4), 1.0e9, jnp.float32)
+    pad = pad.at[1:-1, 1:-1, 1:-1].set(grid5)
+    own = grid5[..., :, None, :3]                           # [g,g,g,K,1,3]
+    acc = jnp.zeros((gn, gn, gn, k, 3), jnp.float32)
+    for dz in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                nb = pad[dz : dz + gn, dy : dy + gn, dx : dx + gn]
+                rvec = nb[..., None, :, :3] - own           # [g,g,g,K,K,3]
+                d2 = jnp.sum(rvec * rvec, axis=-1)
+                s = _short_factor(d2, eps2, sigma)
+                acc = acc + jnp.sum(s[..., None] * rvec, axis=-2)
+    return (acc * jnp.float32(g_const)).reshape(gn * gn * gn, k, 3)
+
+
+def near_field_correction(
+    position: jax.Array,   # [4, N]
+    box: float,
+    g_const: float,
+    eps2: float,
+    r_c: float,
+    near_grid: int,
+    capacity: int,
+):
+    """Short-range pairwise correction -> (accel [3, N], overflow count).
+
+    `near_grid` must satisfy box/near_grid >= r_c so the 27-neighborhood
+    covers the cutoff (validated by the caller)."""
+    n = position.shape[1]
+    gn = near_grid
+    hn = box / gn
+    ncell = gn * gn * gn
+    slots, scid, spid, bounds, overflow = _bin_particles(
+        position, gn, hn, capacity
+    )
+    slot_force = _near_sweep(slots, gn, capacity, g_const, eps2, r_c)
+
+    # map slot forces back to sorted particles: particle i (sorted) sits in
+    # slot (scid[i], i - bounds[scid[i]]); k >= capacity means overflow ->
+    # zero correction
+    live = scid < ncell
+    start = bounds[jnp.where(live, scid, ncell)]            # ascending gather
+    krank = jnp.arange(n, dtype=jnp.int32) - start
+    ok = live & (krank < capacity)
+    row = jnp.where(ok, jnp.where(live, scid, 0) * capacity + krank, 0)
+    f_sorted = jnp.where(
+        ok[:, None], slot_force.reshape(ncell * capacity, 3)[row], 0.0
+    )
+    _, fx, fy, fz = jax.lax.sort(
+        (spid, f_sorted[:, 0], f_sorted[:, 1], f_sorted[:, 2]),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    return jnp.stack([fx, fy, fz]), overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "box", "g_const", "softening_squared", "cutoff_cells",
+        "capacity",
+    ),
+)
+def p3m_accel_with_overflow(
+    position: jax.Array,   # [4, N]
+    grid: int = 64,
+    box: float = 2048.0,
+    g_const: float = 1.0,
+    softening_squared: float = 25.0,
+    cutoff_cells: float = 6.75,
+    capacity: int = 64,
+):
+    """-> (accel [3, N], overflow): mesh long-range + pairwise short-range."""
+    r_c = cutoff_cells * box / grid
+    gn = max(int(box // r_c), 3)          # cell size box/gn >= r_c
+    rho = pm.deposit_cic(position, grid, box)
+    acc32 = _accel_rows_long(
+        rho, grid, box, g_const, softening_squared, r_c
+    )
+    a_far = pm._interp(acc32, position, grid, box)
+    a_near, overflow = near_field_correction(
+        position, box, g_const, softening_squared, r_c, gn, capacity
+    )
+    return a_far + a_near, overflow
+
+
+def p3m_accel(position, **kw):
+    """-> accel [3, N] (overflow diagnostic dropped)."""
+    acc, _ = p3m_accel_with_overflow(position, **kw)
+    return acc
+
+
+def make_accel_fn(
+    mass: float,
+    softening_squared: float = 25.0,
+    grid: int = 64,
+    box: float = 2048.0,
+    cutoff_cells: float = 6.75,
+    capacity: int = 64,
+):
+    """Adapter matching the integrator's accel_fn signature."""
+
+    def accel_fn(position: jax.Array) -> jax.Array:
+        return p3m_accel(
+            position, grid=grid, box=box, g_const=mass,
+            softening_squared=softening_squared,
+            cutoff_cells=cutoff_cells, capacity=capacity,
+        )
+
+    return accel_fn

@@ -53,6 +53,11 @@ class SimConfig:
     # smooth mesh force only; the overflow count is a runtime metric).
     p3m_cutoff_cells: float = 6.75
     p3m_capacity: int = 64
+    # Mesh runs: solve the PM field with the slab-decomposed distributed
+    # FFT (parallel/dist_fft.py) instead of redundant per-device solves.
+    # Worth it for G >= 256 (the doubled spectrum alone is 540 MB); needs
+    # the inner mesh axis to divide the grid.
+    pm_distributed_fft: bool = False
 
     def __post_init__(self):
         if self.num_particles <= 0:

@@ -226,12 +226,18 @@ def _accel_rows(
     The whole 2x2x2 corner neighborhood packs into ONE 32-float row per
     base cell (grids are [z, y, x]; cid = z*g*g + y*g + x), so trilinear
     interpolation costs a single row-gather per particle instead of 8."""
+    phi = _convolve_pruned(
+        rho, _potential_kernel_rfft(grid, box, softening_squared), grid
+    ) * jnp.float32(g_const)
+    return _grad_pack(phi, grid, box)
+
+
+def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
+    """Scaled potential [G, G, G] -> packed [G³, 32] accel rows (the
+    gradient + neighborhood-packing tail of `_accel_rows`, split out so
+    the distributed solve can produce `phi` its own way)."""
     g = grid
     h = box / g
-    phi = _convolve_pruned(
-        rho, _potential_kernel_rfft(g, box, softening_squared), g
-    ) * jnp.float32(g_const)
-
     # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
     inv2h = jnp.float32(1.0 / (2.0 * h))
     zero = jnp.zeros_like(phi)

@@ -30,6 +30,7 @@ from multi_adapter_particles_tpu.models import integrator
 from multi_adapter_particles_tpu.models.state import ParticleState
 from multi_adapter_particles_tpu.ops import allpairs
 from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
+from multi_adapter_particles_tpu.parallel import dist_fft
 from multi_adapter_particles_tpu.parallel.mesh import (
     AXIS,
     OUTER_AXIS,
@@ -155,34 +156,57 @@ def make_sharded_step(
             block = jax.lax.ppermute(block, AXIS, inner_perm)  # home again
         return acc, block
 
-    def pm_accel_sharded(position):
-        """PM on the mesh: every shard deposits its own particles, the
-        [G³] grids all-reduce (psum — the grid is tiny next to particle
-        state), then each shard solves the identical FFT locally and
-        interpolates its own particles. Redundant solves beat shipping
-        fields for these grid sizes."""
+    use_dist_fft = (
+        cfg.force_model == "pm_grid"
+        and cfg.pm_distributed_fft
+        and dist_fft.supports(cfg.pm_grid_size, n_inner)
+    )
+
+    def pm_accel_sharded(position, kernel_slab):
+        """PM on the mesh: every shard deposits its own particles, then
+
+        - default: the [G³] grids all-reduce (psum — the grid is tiny
+          next to particle state) and each shard solves the identical FFT
+          locally and interpolates its own particles — redundant solves
+          beat shipping fields for small grids;
+        - `pm_distributed_fft`: the slab-decomposed pipeline
+          (`parallel/dist_fft.py`) — each device transforms 1/D of the
+          pencils and holds 1/D of the kernel spectrum; for G >= 256
+          grids that do not fit (or pay too much) per device.
+        """
         from multi_adapter_particles_tpu.ops import pm
 
         rho = pm.deposit_cic(position, cfg.pm_grid_size, cfg.pm_box)
+        g_const = cfg.mass * cfg.interaction_scale
+        if use_dist_fft:
+            if multislice:
+                rho = jax.lax.psum(rho, OUTER_AXIS)
+            phi = dist_fft.convolve_slab(
+                rho, kernel_slab, cfg.pm_grid_size, AXIS
+            ) * jnp.float32(g_const)
+            acc32 = pm._grad_pack(phi, cfg.pm_grid_size, cfg.pm_box)
+            return pm._interp(acc32, position, cfg.pm_grid_size, cfg.pm_box)
         rho = jax.lax.psum(rho, AXIS)
         if multislice:
             rho = jax.lax.psum(rho, OUTER_AXIS)
         return pm.solve_and_gather(
             rho, position,
             grid=cfg.pm_grid_size, box=cfg.pm_box,
-            g_const=cfg.mass * cfg.interaction_scale,
+            g_const=g_const,
             softening_squared=cfg.softening_squared,
         )
 
-    def local_step(position, velocity, num_sim: Optional[int]):
-        # position [4, n_loc], velocity [3, n_loc] — per-device blocks.
+    def local_step(position, velocity, kernel_slab, num_sim: Optional[int]):
+        # position [4, n_loc], velocity [3, n_loc] — per-device blocks;
+        # kernel_slab is this device's y-columns of the kernel spectrum
+        # (distributed-FFT PM only, else a placeholder scalar).
         old_position, old_velocity = position, velocity
         if cfg.force_model == "central_well":
             accel = integrator.central_well_accel(
                 position, cfg.mass, cfg.softening_squared
             )
         elif cfg.force_model == "pm_grid":
-            accel = pm_accel_sharded(position)
+            accel = pm_accel_sharded(position, kernel_slab)
         elif bit_stable:
             # Bit-stable schedule: same kernel, same source order, same
             # tiling as single-chip — trajectories identical across mesh
@@ -222,17 +246,26 @@ def make_sharded_step(
             new_vel = jnp.where(live, new_vel, old_velocity)
         return new_pos, new_vel
 
+    if use_dist_fft:
+        kernel_arg = dist_fft.make_kernel_slabs(
+            mesh, cfg.pm_grid_size, cfg.pm_box, cfg.softening_squared
+        )
+        kernel_spec = P(None, AXIS, None)
+    else:
+        kernel_arg = jnp.zeros((), jnp.float32)  # placeholder, replicated
+        kernel_spec = P()
+
     def make(num_sim: Optional[int]):
         spec = particle_spec(mesh)
         return jax.shard_map(
             functools.partial(local_step, num_sim=num_sim),
             mesh=mesh,
-            in_specs=(spec, spec),
+            in_specs=(spec, spec, kernel_spec),
             out_specs=(spec, spec),
         )
 
     def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:
-        pos, vel = make(num_sim)(state.position, state.velocity)
+        pos, vel = make(num_sim)(state.position, state.velocity, kernel_arg)
         return ParticleState(pos, vel)
 
     if donate:

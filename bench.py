@@ -16,6 +16,9 @@ and "extra" carries the staged configs, each with its own vs_baseline:
      `Main-Particles.cpp:50`). Baseline: 35.9 ms = this repo's round-1
      measured value (regression gate). vs_baseline = 35.9/value
      (>1 = faster than round 1).
+  4. pm_grid self-gravity step ms at 4M, G=128 (beyond-reference model).
+     Baseline: 553 ms = this repo's round-1 measured value.
+     vs_baseline = 553/value (>1 = faster than round 1).
 
 Timing notes (see .claude/skills/verify/SKILL.md): on the axon tunnel,
 `block_until_ready` does not reliably block for Pallas outputs, so every
@@ -33,9 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PAIRS_PER_SEC = 1.0e12
 FRAME_BUDGET_MS = 1000.0 / 60.0        # README.md:12 60 FPS win condition
 RENDER_R1_MS = 35.9                    # round-1 measured 262K @1024^2
+PM_R1_MS = 553.0                       # round-1 measured 4M @G=128
 
 N_KERNEL = 1_048_576
 N_FRAME = 262_144
+N_PM = 4_194_304
 
 
 def _bench_kernel(jax, n: int) -> dict:
@@ -150,22 +155,50 @@ def _bench_render(jax, n: int, warm: int, timed: int) -> dict:
     }
 
 
+def _bench_pm(jax, n: int, grid: int, steps: int) -> dict:
+    """pm_grid 4M G=128 step (regression gate vs round 1's 553 ms)."""
+    from multi_adapter_particles_tpu.config import SimConfig
+    from multi_adapter_particles_tpu.models import init as pinit, integrator
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    cfg = SimConfig(
+        num_particles=n, force_model="pm_grid", pm_grid_size=grid,
+        interaction_scale=1.0 / n,
+    )
+    step = integrator.make_step(cfg, donate=True)
+    state = pinit.initialize_particles_device(n, seed=42)
+    state = step(state)
+    sync(state.position)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step(state)
+    sync(state.position)
+    ms = (time.perf_counter() - t0) * 1000.0 / steps
+    return {
+        "metric": f"pm_grid self-gravity step ms @ {n} particles, G={grid}",
+        "value": ms,
+        "unit": "ms/step",
+        "vs_baseline": PM_R1_MS / ms,
+    }
+
+
 def main() -> int:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        n_kernel, n_frame = N_KERNEL, N_FRAME
+        n_kernel, n_frame, n_pm, g_pm = N_KERNEL, N_FRAME, N_PM, 128
         warm, timed = 10, 30
     else:
         # CI smoke fallback; the driver runs this on real TPU
-        n_kernel, n_frame = 8192, 8192
+        n_kernel, n_frame, n_pm, g_pm = 8192, 8192, 8192, 32
         warm, timed = 2, 3
 
     headline = _bench_kernel(jax, n_kernel)
     extra = [
         _bench_frame(jax, n_frame, warm, timed),
         _bench_render(jax, n_frame if on_tpu else 8192, warm, timed),
+        _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2),
     ]
     out = dict(headline)
     out["extra"] = extra

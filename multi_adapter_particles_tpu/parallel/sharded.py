@@ -196,6 +196,44 @@ def make_sharded_step(
             softening_squared=cfg.softening_squared,
         )
 
+    def p3m_accel_sharded(position):
+        """P³M on the mesh: the far field parallelizes like PM (per-shard
+        deposit, grid psum, local long-solve + interp of LOCAL targets);
+        the near field needs global neighbor sources, so every device
+        bins the GATHERED positions, runs the (redundant) 27-cell sweep,
+        and slices out its own block's corrections. Redundant near
+        sweeps are the v1 trade — same stance as the redundant local FFT
+        solves the default PM path takes."""
+        from multi_adapter_particles_tpu.ops import p3m, pm
+
+        g_const = cfg.mass * cfg.interaction_scale
+        grid, box = cfg.pm_grid_size, cfg.pm_box
+        r_c = cfg.p3m_cutoff_cells * box / grid
+        gn = max(int(box // r_c), 3)
+
+        rho = pm.deposit_cic(position, grid, box)
+        rho = jax.lax.psum(rho, AXIS)
+        if multislice:
+            rho = jax.lax.psum(rho, OUTER_AXIS)
+        acc32 = p3m._accel_rows_long(
+            rho, grid, box, g_const, cfg.softening_squared, r_c
+        )
+        a_far = pm._interp(acc32, position, grid, box)
+
+        full = gathered_sources(position)
+        a_near_full, _overflow = p3m.near_field_correction(
+            full, box, g_const, cfg.softening_squared, r_c, gn,
+            cfg.p3m_capacity,
+        )
+        n_loc = position.shape[1]
+        shard = jax.lax.axis_index(AXIS)
+        if multislice:
+            shard = jax.lax.axis_index(OUTER_AXIS) * n_inner + shard
+        a_near = jax.lax.dynamic_slice_in_dim(
+            a_near_full, shard * n_loc, n_loc, axis=1
+        )
+        return a_far + a_near
+
     def local_step(position, velocity, kernel_slab, num_sim: Optional[int]):
         # position [4, n_loc], velocity [3, n_loc] — per-device blocks;
         # kernel_slab is this device's y-columns of the kernel spectrum
@@ -207,6 +245,8 @@ def make_sharded_step(
             )
         elif cfg.force_model == "pm_grid":
             accel = pm_accel_sharded(position, kernel_slab)
+        elif cfg.force_model == "p3m":
+            accel = p3m_accel_sharded(position)
         elif bit_stable:
             # Bit-stable schedule: same kernel, same source order, same
             # tiling as single-chip — trajectories identical across mesh

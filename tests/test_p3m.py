@@ -197,6 +197,64 @@ class TestOverflow:
         assert np.isfinite(np.asarray(a_full)).all()
 
 
+class TestShardedP3M:
+    def _cfg(self, n):
+        return SimConfig(
+            num_particles=n, force_model="p3m",
+            pm_grid_size=32, pm_box=4096.0, interaction_scale=1.0 / n,
+            p3m_capacity=128,
+        )
+
+    def test_mesh_p3m_matches_single_device(self):
+        import jax
+
+        from multi_adapter_particles_tpu.parallel import (
+            make_mesh, make_sharded_step, shard_state,
+        )
+
+        devices = jax.devices()
+        if len(devices) < 4:
+            pytest.skip("needs 4+ devices")
+        n = 1024
+        cfg = self._cfg(n)
+        ref = integrator.make_step(cfg, donate=False)(
+            pinit.initialize_particles_device(n, seed=2)
+        )
+        mesh = make_mesh(devices[:4])
+        sstate = shard_state(pinit.initialize_particles_device(n, seed=2), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    def test_multislice_p3m(self):
+        import jax
+
+        from multi_adapter_particles_tpu.parallel import (
+            make_sharded_step, shard_state,
+        )
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 devices")
+        n = 1024
+        cfg = self._cfg(n)
+        ref = integrator.make_step(cfg, donate=False)(
+            pinit.initialize_particles_device(n, seed=4)
+        )
+        mesh = make_multislice_mesh(2, devices)
+        sstate = shard_state(pinit.initialize_particles_device(n, seed=4), mesh)
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-5, atol=1e-3,
+        )
+
+
 class TestIntegration:
     def test_p3m_force_model_steps(self):
         cfg = SimConfig(num_particles=512, force_model="p3m",

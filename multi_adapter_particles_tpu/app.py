@@ -177,6 +177,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         fused=extra.get("fused", False),
     )
 
+    if sim_cfg.force_model == "p3m":
+        # near-field coverage on the initial state: overflowing particles
+        # keep the smooth mesh force only (host-side count, no compiles)
+        from multi_adapter_particles_tpu.ops.p3m import host_overflow_count
+
+        ov = host_overflow_count(
+            particles.compute.positions, sim_cfg.pm_grid_size,
+            sim_cfg.pm_box, sim_cfg.p3m_cutoff_cells, sim_cfg.p3m_capacity,
+        )
+        if ov:
+            print(
+                f"p3m: {ov} of {sim_cfg.num_particles} particles exceed "
+                f"near-cell capacity {sim_cfg.p3m_capacity} (mesh-only "
+                "force for them); raise -p3mcapacity or -pmgrid",
+                flush=True,
+            )
+
     if "resume" in extra:
         from multi_adapter_particles_tpu.utils.checkpoint import load_checkpoint
 

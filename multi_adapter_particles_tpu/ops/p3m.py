@@ -306,6 +306,29 @@ def p3m_accel(position, **kw):
     return acc
 
 
+def host_overflow_count(
+    position,              # array-like [4, N] (host or device)
+    grid: int,
+    box: float,
+    cutoff_cells: float,
+    capacity: int,
+) -> int:
+    """NumPy replica of the binning's overflow diagnostic — cheap enough
+    to run once at startup (no trace, no device work) so the app can
+    report near-field coverage before committing to a capacity."""
+    import numpy as np
+
+    r_c = cutoff_cells * box / grid
+    gn = max(int(box // r_c), 3)
+    hn = box / gn
+    pos = np.asarray(position)[:3]
+    ib = np.floor(pos / hn + gn / 2).astype(np.int64)
+    inbox = ((ib >= 0) & (ib <= gn - 1)).all(axis=0)
+    cid = ib[2] * gn * gn + ib[1] * gn + ib[0]
+    counts = np.bincount(cid[inbox], minlength=gn**3)
+    return int(np.maximum(counts - capacity, 0).sum())
+
+
 def make_accel_fn(
     mass: float,
     softening_squared: float = 25.0,

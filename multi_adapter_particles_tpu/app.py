@@ -81,6 +81,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_int("height", "frame height", lambda v: extra.__setitem__("height", v))
     p.add_str("dumpframe", "write the final frame to this .png/.npy path",
               lambda v: extra.__setitem__("dumpframe", v))
+    p.add_flag("u8frame", "render to RGB8 on device (swap-chain UNORM "
+               "format analog; 4x cheaper frame pulls)",
+               lambda: extra.__setitem__("frame_uint8", True))
     p.add_str("metrics", "write metrics JSON to this path",
               lambda v: extra.__setitem__("metrics", v))
     p.add_int("profileevery", "hard-sync stage timing every K frames",
@@ -157,6 +160,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),
         height=extra.get("height", RenderConfig.height),
+        frame_uint8=extra.get("frame_uint8", False),
     )
     steps = extra.get("steps", 600)
     # Default stage timing is the non-stalling AsyncStageProbe (gui runs);

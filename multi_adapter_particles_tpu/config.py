@@ -78,6 +78,9 @@ class RenderConfig:
     near: float = C.CAMERA_NEAR
     far: float = C.CAMERA_FAR
     camera_position: Tuple[float, float, float] = C.CAMERA_POSITION
+    # Quantize the frame to RGB8 on device — the reference swap chain's
+    # R8G8B8A8_UNORM analog (`Render.cpp:292`); 4x cheaper host pulls.
+    frame_uint8: bool = False
 
     @property
     def aspect(self) -> float:

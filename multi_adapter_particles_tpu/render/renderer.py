@@ -100,7 +100,7 @@ def _colors(position, num_particles):
     jax.jit,
     static_argnames=(
         "width", "height", "seg_q", "dup_y", "dup_x", "near", "blend",
-        "use_pallas_composite",
+        "use_pallas_composite", "frame_uint8",
     ),
 )
 def _render(
@@ -120,6 +120,7 @@ def _render(
     near: float,
     blend: str,            # 'over' (exact) | 'additive' (order-free)
     use_pallas_composite: bool = False,
+    frame_uint8: bool = False,
 ) -> FrameOutput:
     n = position.shape[1]
     gh, gw = height // TILE_H, width // TILE_W
@@ -385,6 +386,11 @@ def _render(
     # [T, 3, th*tw] -> [H, W, 3]
     frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
     frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
+    if frame_uint8:
+        # the reference swap chain's R8G8B8A8_UNORM analog
+        # (`Render.cpp:292` DXGI format): quantize on device — 4x smaller
+        # HBM frame and 4x cheaper host pulls (dashboard/dumpframe)
+        frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
     return FrameOutput(
         frame, overflow.astype(jnp.int32), truncated.astype(jnp.int32),
         span_y.astype(jnp.int32), span_x.astype(jnp.int32),
@@ -499,6 +505,7 @@ class Renderer:
             near=cfg.near,
             blend=self.blend,
             use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
+            frame_uint8=cfg.frame_uint8,
         )
 
     def raise_dup_for(self, out: FrameOutput) -> bool:

@@ -185,6 +185,29 @@ class TestTpuRenderer:
         out = r.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
         assert int(out.truncated) > 0
 
+    def test_uint8_frame_mode(self):
+        """RenderConfig.frame_uint8 (the swap-chain R8G8B8A8_UNORM analog)
+        quantizes on device: dtype uint8 and within 1 LSB of the fp32
+        frame everywhere."""
+        rng = np.random.default_rng(5)
+        n = 64
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-300, 300, size=(n, 3)).astype(np.float32)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        cfg32 = RenderConfig(width=256, height=128)
+        cfg8 = RenderConfig(width=256, height=128, frame_uint8=True)
+        f32 = np.asarray(
+            Renderer(cfg32).render(st.position, cam.Camera(), 6.0, 0.5)
+        )
+        f8 = np.asarray(
+            Renderer(cfg8).render(st.position, cam.Camera(), 6.0, 0.5)
+        )
+        assert f8.dtype == np.uint8
+        want = np.clip(f32, 0.0, 1.0) * 255.0
+        assert np.abs(f8.astype(np.float64) - want).max() <= 0.501 + 1e-3
+
     def test_empty_frame(self):
         from multi_adapter_particles_tpu.models.state import zeros
 

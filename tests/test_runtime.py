@@ -359,6 +359,24 @@ class TestFusedPm:
         assert np.asarray(app.render.last_frame).max() > 0
         app.shutdown()
 
+    def test_fused_with_p3m(self):
+        """Fused single-program frame works with the P³M force model."""
+        app = ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N, force_model="p3m",
+                      pm_grid_size=32, pm_box=4096.0,
+                      interaction_scale=1.0 / N, p3m_capacity=32),
+            SMALL_RENDER,
+            fused=True,
+        )
+        app.draw()
+        app.draw()
+        app.compute.wait_for_gpu()
+        pos = np.asarray(app.compute.positions)
+        assert np.isfinite(pos[:, :N]).all()
+        assert np.asarray(app.render.last_frame).max() > 0
+        app.shutdown()
+
 
 class TestReviewRegressions:
     """Pinned fixes from the round-1 code review."""

@@ -24,14 +24,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(idx_ref, table_hbm, out, sems, *, tile, depth):
-    base = pl.program_id(0) * tile
-
+def _gather_kernel(idx_ref, table_hbm, out, scratch, sems, *, tile, depth):
     def copy(j, slot):
-        r = idx_ref[base + j]
+        r = idx_ref[j]
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(r, 1), :],
-            out.at[pl.ds(j, 1), :],
+            scratch.at[pl.ds(j, 1), :],
             sems.at[slot],
         )
 
@@ -53,25 +51,28 @@ def _gather_kernel(idx_ref, table_hbm, out, sems, *, tile, depth):
 
         return carry
 
-    jax.lax.fori_loop(0, tile, body, 0, unroll=4)
+    jax.lax.fori_loop(0, tile, body, 0)
+    out[...] = scratch[...]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "depth"))
-def pallas_gather(table, idx, tile=2048, depth=16):
+def pallas_gather(table, idx, tile=1024, depth=16):
     n = idx.shape[0]
     w = table.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (tile, w), lambda i, idx: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((16,))],
-    )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, tile=tile, depth=16),
-        grid_spec=grid_spec,
+        functools.partial(_gather_kernel, tile=tile, depth=depth),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, w), table.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
         out_shape=jax.ShapeDtypeStruct((n, w), table.dtype),
     )(idx, table)
 

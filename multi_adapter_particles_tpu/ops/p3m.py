@@ -181,18 +181,24 @@ def _bin_particles(position, gn: int, hn: float, capacity: int):
     k = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     slot_idx = bounds[:-1, None] + k                        # [ncell, K]
     slot_idx = jnp.where(k < counts[:, None], slot_idx, n)
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
     park = jnp.float32(1.0e9)
     spos4 = jnp.stack(
         [jnp.append(sx, park), jnp.append(sy, park),
          jnp.append(sz, park), jnp.zeros(n + 1, jnp.float32)], axis=1,
     )                                                       # [n+1, 4] rows
-    slots = spos4[slot_idx]                                 # [ncell, K, 4]
+    slots = gather_rows(spos4, slot_idx.reshape(-1)).reshape(
+        ncell, capacity, 4
+    )
     return slots, scid, spid, bounds, overflow
 
 
 def _near_sweep(slots, gn: int, capacity: int, g_const: float,
                 eps2: float, r_c: float):
-    """27-offset shifted-slice pair sweep -> slot forces [Gn³, K, 3].
+    """27-offset shifted-slice pair sweep -> slot forces [Gn³, K, 4]
+    (x, y, z, 0 — the zero channel makes 16 B rows for the un-binning
+    lane-packed gather).
 
     Layout is the whole game on the VPU: the pair tensors are THREE
     separate [gn, gn, gn, K, K] component arrays with sources on the
@@ -225,6 +231,9 @@ def _near_sweep(slots, gn: int, capacity: int, g_const: float,
                 acc[1] = acc[1] + jnp.sum(s * dyv, axis=-1)
                 acc[2] = acc[2] + jnp.sum(s * dzv, axis=-1)
     scale = jnp.float32(g_const)
+    # 4th zero channel: 16-byte rows pack 32-per-128-lane in the
+    # un-binning row gather (ops/rowgather.py)
+    acc.append(jnp.zeros_like(acc[0]))
     return jnp.stack(
         [a.reshape(gn * gn * gn, k) * scale for a in acc], axis=-1
     )
@@ -255,13 +264,17 @@ def near_field_correction(
     # map slot forces back to sorted particles: particle i (sorted) sits in
     # slot (scid[i], i - bounds[scid[i]]); k >= capacity means overflow ->
     # zero correction
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
     live = scid < ncell
     start = bounds[jnp.where(live, scid, ncell)]            # ascending gather
     krank = jnp.arange(n, dtype=jnp.int32) - start
     ok = live & (krank < capacity)
     row = jnp.where(ok, jnp.where(live, scid, 0) * capacity + krank, 0)
     f_sorted = jnp.where(
-        ok[:, None], slot_force.reshape(ncell * capacity, 3)[row], 0.0
+        ok[:, None],
+        gather_rows(slot_force.reshape(ncell * capacity, 4), row)[:, :3],
+        0.0,
     )
     _, fx, fy, fz = jax.lax.sort(
         (spid, f_sorted[:, 0], f_sorted[:, 1], f_sorted[:, 2]),

@@ -33,10 +33,11 @@ irregular is a sort (the TPU's scatter):
 - **Differentiate**: 2nd-order central differences on the potential grid.
 - **Interpolate**: the whole 2x2x2 accel neighborhood packs into one
   32-float row per cell ([G³, 32]) so trilinear interpolation costs a
-  single row-gather per particle. The gather cost is per-row-byte, not
-  locality (a cell-sorted issue order measured NO faster than particle
-  order), and the rows must stay fp32: the self-field cancellation
-  across corners breaks in bf16 (see `_accel_rows`).
+  single row-gather per particle — issued through the lane-packed
+  gather (`ops/rowgather.py`: 4 rows per 128-lane line + select, 2.7x
+  over the plain narrow gather; a cell-sorted issue order measured NO
+  faster than particle order). The rows must stay fp32: the self-field
+  cancellation across corners breaks in bf16 (see `_accel_rows`).
 """
 
 from __future__ import annotations
@@ -133,10 +134,12 @@ def _deposit_sorted(sbase, sfrac, grid: int) -> jax.Array:
     bounds = _segment_bounds(sbase, ncell)
     # all 8 corner weights in ONE cumsum pass + ONE row-gather at the
     # boundaries (vs 8 separate scans and element-gathers)
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
     csum = jnp.concatenate(
         [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(sw8, axis=0)]
     )                                                  # [N+1, 8]
-    at_bounds = csum[bounds]                           # [ncell+1, 8] rows
+    at_bounds = gather_rows(csum, bounds)              # [ncell+1, 8] rows
     hist8 = at_bounds[1:] - at_bounds[:-1]             # [ncell, 8]
     rho = jnp.zeros((g, g, g), jnp.float32)
     corner = 0
@@ -262,11 +265,13 @@ def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
 
 def _interp(acc32, position, grid: int, box: float) -> jax.Array:
     """Trilinear gather-back in particle order -> accel [3, N]."""
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
     g = grid
     i0, frac, inside = _cic_cells(position, g, box)
     i0c = jnp.clip(i0, 0, g - 2)
     cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
-    rows = acc32[cid].reshape(position.shape[1], 8, 4)  # ONE row-gather
+    rows = gather_rows(acc32, cid).reshape(position.shape[1], 8, 4)
     w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
     acc = jnp.sum(rows * w8[:, :, None], axis=1)        # [N, 4]
     return jnp.where(inside[None, :], acc[:, :3].T, 0.0)

@@ -35,10 +35,20 @@ PRESETS = {
         "extra": {"fused": True, "steps": 60},
     },
     # 4M SELF-gravity via FFT particle-mesh (exceeds the reference: the
-    # exact O(N^2) sum takes 94 s/step at 4M; PM does it in ~0.5 s)
+    # exact O(N^2) sum takes 94 s/step at 4M; PM does it in ~86 ms)
     "4m-pm": {
         "app": {"num_particles": 4_194_304, "gui": False, "vsync": False},
         "extra": {"force": "pm_grid", "draw": False, "steps": 30},
+    },
+    # 64k exact-at-all-separations self-gravity (P3M): ~24x faster than
+    # the exact O(N^2) sum at this size, <1% RMS where capacity covers
+    # the local density (overflow reported at startup)
+    "64k-p3m": {
+        "app": {"num_particles": 65_536, "gui": False, "vsync": False},
+        "extra": {
+            "force": "p3m", "draw": False, "steps": 100,
+            "pm_box": 4096.0, "interaction_scale": 1.0 / 65_536,
+        },
     },
 }
 

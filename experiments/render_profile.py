@@ -6,6 +6,13 @@ everything after the cut, so successive differences attribute wall time per
 stage. Mirrors the structure of `render/renderer.py:_render` — keep in sync
 when that changes (profiling snapshot, not production code).
 
+STALE as of the 4-payload-sort rework (commit "Renderer 1.9x"): this
+mirror still profiles the 9-operand-sort pipeline. Post-rework @262K
+1024² the production renderer measures 19-21 ms total; the remaining
+split is ~9 ms stable 4-op sort (the floor — keys are 11-bit tile ids
+but the TPU reorder primitive is the comparator sort), ~4 ms
+project/bin/expand, ~5 ms composite, ~2 ms combine/assembly.
+
 Run on the real chip:  python experiments/render_profile.py [N]
 """
 

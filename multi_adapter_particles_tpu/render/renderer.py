@@ -66,6 +66,10 @@ class FrameOutput(NamedTuple):
     span_x: jax.Array     # int32 — max tile cols any live sprite covers
     #                       (the dup_y/dup_x a lossless frame needs;
     #                       drives the auto-raise in Renderer.render)
+    trans: Optional[jax.Array] = None  # [H, W] transmittance plane — only
+    #                       in return_trans mode (the chunked-composite
+    #                       fold state; frame then holds UNquantized
+    #                       premultiplied color)
 
 
 def _project(position, wvp, p00, p11, width, height, radius):
@@ -83,10 +87,13 @@ def _project(position, wvp, p00, p11, width, height, radius):
     return cx, cy, hx, hy, w_clip
 
 
-def _colors(position, num_particles):
-    """VSParticleDraw color rule (`ParticleDraw.hlsl:104-109`), SoA."""
+def _colors(position, num_particles, id_offset=0):
+    """VSParticleDraw color rule (`ParticleDraw.hlsl:104-109`), SoA.
+
+    `id_offset` shifts the id-hash channel so a CHUNK of a larger state
+    colors exactly as it would in the full draw (chunked renders)."""
     n = position.shape[1]
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.arange(n, dtype=jnp.int32) + id_offset
     mag = position[3] / jnp.float32(C.ACCEL_COLOR_SCALE)
     cold = C.SPRITE_COLOR_COLD
     hot = C.SPRITE_COLOR_HOT
@@ -100,7 +107,7 @@ def _colors(position, num_particles):
     jax.jit,
     static_argnames=(
         "width", "height", "seg_q", "dup_y", "dup_x", "near", "blend",
-        "use_pallas_composite", "frame_uint8",
+        "use_pallas_composite", "frame_uint8", "return_trans",
     ),
 )
 def _render(
@@ -111,6 +118,7 @@ def _render(
     radius: jax.Array,     # particle size (eye units)
     intensity: jax.Array,  # sprite intensity
     num_draw: jax.Array,   # dynamic draw count (decoupling knob)
+    id_offset: jax.Array = 0,  # global id of column 0 (chunked renders)
     *,
     width: int,
     height: int,
@@ -121,6 +129,7 @@ def _render(
     blend: str,            # 'over' (exact) | 'additive' (order-free)
     use_pallas_composite: bool = False,
     frame_uint8: bool = False,
+    return_trans: bool = False,
 ) -> FrameOutput:
     n = position.shape[1]
     gh, gw = height // TILE_H, width // TILE_W
@@ -130,7 +139,7 @@ def _render(
     cx, cy, hx, hy, w_clip = _project(
         position, wvp, p00, p11, float(width), float(height), radius
     )
-    cr, cg, cb = _colors(position, n)
+    cr, cg, cb = _colors(position, n, id_offset)
 
     ids = jnp.arange(n, dtype=jnp.int32)
     alive = (ids < num_draw) & (w_clip > jnp.float32(near))
@@ -380,12 +389,27 @@ def _render(
 
     # segment-0 row holds each tile's composite
     frame_t = jnp.stack([c[row_start] for c in chans], axis=1)  # [T, 3, px]
-    frame_t = jnp.clip(frame_t, 0.0, 1.0)
     overflow = jnp.int32(0)  # the segmented composite is exact — kept for API
 
-    # [T, 3, th*tw] -> [H, W, 3]
-    frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
-    frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
+    def assemble(t, ch):  # [T, ch, th*tw] -> [H, W, ch] (or [H, W])
+        t = t.reshape(gh, gw, ch, TILE_H, TILE_W)
+        t = t.transpose(0, 3, 1, 4, 2).reshape(height, width, ch)
+        return t[..., 0] if ch == 1 else t
+
+    if return_trans:
+        # chunked-composite mode: UNclipped premultiplied color + the
+        # transmittance plane; the caller folds chunks associatively
+        # ((C_later + C_earlier*T_later, T_earlier*T_later)) and clips
+        # once at the end
+        frame = assemble(frame_t, 3)
+        trans = assemble(tv[row_start][:, None, :], 1)
+        return FrameOutput(
+            frame, overflow.astype(jnp.int32), truncated.astype(jnp.int32),
+            span_y.astype(jnp.int32), span_x.astype(jnp.int32), trans,
+        )
+
+    frame_t = jnp.clip(frame_t, 0.0, 1.0)
+    frame = assemble(frame_t, 3)
     if frame_uint8:
         # the reference swap chain's R8G8B8A8_UNORM analog
         # (`Render.cpp:292` DXGI format): quantize on device — 4x smaller
@@ -448,6 +472,10 @@ class Renderer:
         # transfers per frame (milliseconds over a tunneled transport).
         self._arg_key = None
         self._arg_dev = None
+        # Chunked-composite sizing: states above the threshold render in
+        # `chunk_size`-particle chunks (bounded memory at any N).
+        self.chunk_threshold = 6_291_456
+        self.chunk_size = 4_194_304
 
     def resolve_seg_q(self, n: int, seg_q: Optional[int] = None) -> int:
         """Adaptive segment size: ~half the mean entries per tile, [32, 256]."""
@@ -471,7 +499,15 @@ class Renderer:
         num_draw: Optional[int] = None,
         seg_q: Optional[int] = None,
     ) -> FrameOutput:
-        """One jitted render dispatch (no host sync)."""
+        """One jitted render dispatch (no host sync). States larger than
+        `chunk_threshold` render in id-ordered chunks folded through the
+        associative (color, transmittance) composite — bounded memory at
+        any N (a 16.8M single-pass sort measured 36 GB peak)."""
+        if position.shape[1] > self.chunk_threshold:
+            return self._render_chunked(
+                position, camera, particle_size, particle_intensity,
+                num_draw, seg_q,
+            )
         cfg = self.config
         proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
         wvp = camera.world_view_projection(
@@ -507,6 +543,58 @@ class Renderer:
             use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
             frame_uint8=cfg.frame_uint8,
         )
+
+    def _render_chunked(
+        self, position, camera, particle_size, particle_intensity,
+        num_draw, seg_q,
+    ) -> FrameOutput:
+        """Fold id-ordered particle chunks through the associative
+        composite: later ∘ earlier = (C_l + C_e T_l, T_e T_l). Each chunk
+        renders with its global id offset (colors) and its slice of the
+        num_draw prefix; equals the single-pass frame up to fp
+        reassociation of the per-pixel blend."""
+        cfg = self.config
+        n = position.shape[1]
+        k = -(-n // self.chunk_size)
+        while n % k:
+            k += 1
+        cn = n // k
+        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
+        wvp = jnp.asarray(camera.world_view_projection(
+            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
+        ))
+        p00 = jnp.float32(abs(proj[0, 0]))
+        p11 = jnp.float32(abs(proj[1, 1]))
+        q = self.resolve_seg_q(cn, seg_q)
+        nd_global = int(n if num_draw is None else num_draw)
+
+        cf = tf = trunc = sy = sx = None
+        for i in range(k):
+            chunk = jax.lax.slice_in_dim(position, i * cn, (i + 1) * cn, axis=1)
+            nd = max(0, min(nd_global - i * cn, cn))
+            out = _render(
+                chunk, wvp, p00, p11,
+                jnp.float32(particle_size), jnp.float32(particle_intensity),
+                jnp.int32(nd), jnp.int32(i * cn),
+                width=cfg.width, height=cfg.height, seg_q=q,
+                dup_y=self.dup_y, dup_x=self.dup_x, near=cfg.near,
+                blend=self.blend,
+                use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
+                return_trans=True,
+            )
+            if cf is None:
+                cf, tf = out.frame, out.trans
+                trunc, sy, sx = out.truncated, out.span_y, out.span_x
+            else:
+                cf = out.frame + cf * out.trans[..., None]
+                tf = tf * out.trans
+                trunc = trunc + out.truncated
+                sy = jnp.maximum(sy, out.span_y)
+                sx = jnp.maximum(sx, out.span_x)
+        frame = jnp.clip(cf, 0.0, 1.0)
+        if cfg.frame_uint8:
+            frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
+        return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
 
     def raise_dup_for(self, out: FrameOutput) -> bool:
         """Grow the dup window to a frame's measured max sprite span.

@@ -185,6 +185,38 @@ class TestTpuRenderer:
         out = r.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
         assert int(out.truncated) > 0
 
+    def test_chunked_composite_matches_single_pass(self):
+        """Chunked rendering (the bounded-memory path for huge N) folds
+        id-ordered chunks through the associative (C, T) composite:
+        same frame as single-pass up to fp reassociation, including the
+        id-hash colors (global id offsets) and a num_draw prefix that
+        cuts mid-chunk."""
+        rng = np.random.default_rng(21)
+        n = 512
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-300, 300, size=(n, 3)).astype(np.float32)
+        pos[:, 3] = rng.uniform(0, 12, size=n).astype(np.float32)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        cfg = RenderConfig(width=256, height=128)
+        for num_draw in (None, 300):  # 300 cuts inside chunk 3 of 4
+            single = Renderer(cfg)
+            ref_out = single.render_arrays(
+                st.position, cam.Camera(), 6.0, 0.5, num_draw=num_draw
+            )
+            chunked = Renderer(cfg)
+            chunked.chunk_threshold = 256
+            chunked.chunk_size = 128
+            out = chunked.render_arrays(
+                st.position, cam.Camera(), 6.0, 0.5, num_draw=num_draw
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.frame), np.asarray(ref_out.frame),
+                atol=2e-5,
+            )
+            assert int(out.truncated) == int(ref_out.truncated)
+
     def test_uint8_frame_mode(self):
         """RenderConfig.frame_uint8 (the swap-chain R8G8B8A8_UNORM analog)
         quantizes on device: dtype uint8 and within 1 LSB of the fp32

@@ -304,13 +304,22 @@ def make_sharded_step(
             out_specs=(spec, spec),
         )
 
-    def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:
-        pos, vel = make(num_sim)(state.position, state.velocity, kernel_arg)
+    # The kernel slab must ride as a jit ARGUMENT, not a closure constant:
+    # on a multi-process (pod) mesh it spans non-addressable devices and
+    # closing over it is illegal (caught by the 2-process bootstrap test).
+    def _stepped(state: ParticleState, kernel, num_sim: Optional[int]):
+        pos, vel = make(num_sim)(state.position, state.velocity, kernel)
         return ParticleState(pos, vel)
 
     if donate:
-        return jax.jit(step, static_argnums=(1,), donate_argnums=(0,))
-    return jax.jit(step, static_argnums=(1,))
+        jitted = jax.jit(_stepped, static_argnums=(2,), donate_argnums=(0,))
+    else:
+        jitted = jax.jit(_stepped, static_argnums=(2,))
+
+    def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:
+        return jitted(state, kernel_arg, num_sim)
+
+    return step
 
 
 def gather_positions(state: ParticleState, device: jax.Device) -> jax.Array:

@@ -75,4 +75,25 @@ assert local.shape == (4, 512)
 assert local.devices() == {bootstrap.local_render_device()}
 np.testing.assert_array_equal(np.asarray(local), full)
 
+# distributed-FFT PM on the pod: the slab pipeline's psum_scatter and
+# both all_to_all transposes run CROSS-PROCESS here — exactly the
+# collectives a real pod would use over DCN/ICI
+from multi_adapter_particles_tpu.parallel import (  # noqa: E402
+    make_sharded_step, shard_state,
+)
+
+cfg_pm = SimConfig(
+    num_particles=512, force_model="pm_grid", pm_grid_size=32,
+    pm_box=4096.0, interaction_scale=1.0 / 512, pm_distributed_fft=True,
+)
+sp = shard_state(pinit.initialize_particles_device(512, seed=3), mesh)
+out = make_sharded_step(cfg_pm, mesh, donate=False)(sp)
+full_pm = multihost_utils.process_allgather(out.position, tiled=True)
+ref_pm = integrator.make_step(cfg_pm, donate=False)(
+    pinit.initialize_particles_device(512, seed=3)
+)
+np.testing.assert_allclose(
+    full_pm, np.asarray(ref_pm.position), rtol=1e-5, atol=1e-3
+)
+
 print(f"BOOTSTRAP_OK pid={pid} devices={len(jax.devices())}", flush=True)

@@ -188,18 +188,35 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         n_kernel, n_frame, n_pm, g_pm = N_KERNEL, N_FRAME, N_PM, 128
-        warm, timed = 10, 30
+        warm, timed = 5, 15
     else:
         # CI smoke fallback; the driver runs this on real TPU
         n_kernel, n_frame, n_pm, g_pm = 8192, 8192, 8192, 32
         warm, timed = 2, 3
 
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    note(f"bench: backend={jax.default_backend()}")
+    t0 = time.perf_counter()
     headline = _bench_kernel(jax, n_kernel)
-    extra = [
-        _bench_frame(jax, n_frame, warm, timed),
-        _bench_render(jax, n_frame if on_tpu else 8192, warm, timed),
-        _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2),
-    ]
+    note(f"bench: kernel done at +{time.perf_counter()-t0:.0f}s")
+
+    # Each staged config is best-effort: a failure (OOM, tunnel hiccup)
+    # must not cost the driver the headline metric or the other stages.
+    extra = []
+    for name, fn in (
+        ("frame", lambda: _bench_frame(jax, n_frame, warm, timed)),
+        ("render", lambda: _bench_render(
+            jax, n_frame if on_tpu else 8192, warm, timed)),
+        ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
+    ):
+        try:
+            extra.append(fn())
+            note(f"bench: {name} done at +{time.perf_counter()-t0:.0f}s")
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+            note(f"bench: {name} FAILED: {e}")
     out = dict(headline)
     out["extra"] = extra
     print(json.dumps(out))

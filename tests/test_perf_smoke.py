@@ -5,9 +5,9 @@ numbers are meaningless); the driver's bench.py is the canonical record.
 Thresholds are deliberately loose (~half of measured) so regressions of
 2x+ fail while normal variance passes.
 
-Measured anchors on v5e (2026-08-16): all-pairs 0.185 Tpairs/s @1M;
+Measured anchors on v5e (2026-08-17): all-pairs 0.185 Tpairs/s @1M;
 central-well ~1 ms/step @256K (dispatch-bound over the tunnel); exact
-1024x1024 render 67 ms @262K.
+1024x1024 render 19-21 ms @262K; pm_grid 4M G=128 152.5 ms.
 """
 
 import os
@@ -84,4 +84,29 @@ def test_render_frame_time():
         out = r.render_arrays(state.position, cam, 2.5, 0.15)
     _sync(out.frame)
     ms = (time.perf_counter() - t0) / 3 * 1e3
-    assert ms < 100.0, f"render {ms:.1f} ms > 100 ms ceiling (measured 39)"
+    assert ms < 50.0, f"render {ms:.1f} ms > 50 ms ceiling (measured 19-21)"
+
+
+@requires_tpu
+def test_pm_step_time():
+    """pm_grid 4M G=128 regression gate: 2x headroom over the measured
+    152.5 ms (round-1 shipped 553; the searchsorted replacement and the
+    lane-packed gathers are the wins this protects)."""
+    import jax
+
+    from multi_adapter_particles_tpu.config import SimConfig
+    from multi_adapter_particles_tpu.models import init as pinit, integrator
+
+    n = 4_194_304
+    cfg = SimConfig(num_particles=n, force_model="pm_grid",
+                    pm_grid_size=128, interaction_scale=1.0 / n)
+    step = integrator.make_step(cfg)
+    state = pinit.initialize_particles_device(n, seed=0)
+    state = step(state)
+    _sync(state.position)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state = step(state)
+    _sync(state.position)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    assert ms < 300.0, f"pm step {ms:.1f} ms > 300 ms ceiling (measured 152)"

@@ -205,11 +205,14 @@ def main() -> int:
     # Each staged config is best-effort: a failure (OOM, tunnel hiccup)
     # must not cost the driver the headline metric or the other stages.
     extra = []
+    # pm and render before frame: the frame bench builds the whole app
+    # (most compiles), so if a driver-side budget truncates the run the
+    # cheaper regression gates land first
     for name, fn in (
-        ("frame", lambda: _bench_frame(jax, n_frame, warm, timed)),
+        ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
-        ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
+        ("frame", lambda: _bench_frame(jax, n_frame, warm, timed)),
     ):
         try:
             extra.append(fn())

@@ -301,7 +301,10 @@ def p3m_accel_with_overflow(
 ):
     """-> (accel [3, N], overflow): mesh long-range + pairwise short-range."""
     r_c = cutoff_cells * box / grid
-    gn = max(int(box // r_c), 3)          # cell size box/gn >= r_c
+    gn = max(int(box // r_c), 1)          # cell size box/gn >= r_c; at
+    # gn <= 2 the 27-neighborhood spans the whole grid, so coverage holds
+    # even when r_c > box/3 (a gn floor of 3 would shrink cells BELOW the
+    # cutoff and silently miss pairs)
     rho = pm.deposit_cic(position, grid, box)
     acc32 = _accel_rows_long(
         rho, grid, box, g_const, softening_squared, r_c
@@ -332,7 +335,7 @@ def host_overflow_count(
     import numpy as np
 
     r_c = cutoff_cells * box / grid
-    gn = max(int(box // r_c), 3)
+    gn = max(int(box // r_c), 1)
     hn = box / gn
     pos = np.asarray(position)[:3]
     ib = np.floor(pos / hn + gn / 2).astype(np.int64)

@@ -209,7 +209,7 @@ def make_sharded_step(
         g_const = cfg.mass * cfg.interaction_scale
         grid, box = cfg.pm_grid_size, cfg.pm_box
         r_c = cfg.p3m_cutoff_cells * box / grid
-        gn = max(int(box // r_c), 3)
+        gn = max(int(box // r_c), 1)
 
         rho = pm.deposit_cic(position, grid, box)
         rho = jax.lax.psum(rho, AXIS)

@@ -91,6 +91,22 @@ class TestTwoBody:
         assert acc[0, 0] == pytest.approx(want, rel=0.04), f"r={r}"
         assert acc[0, 1] == pytest.approx(-want, rel=0.04)
 
+    def test_tiny_near_grid_covers_cutoff(self):
+        """When r_c > box/3 the near grid collapses to gn = 1 (the whole
+        box is one cell, every pair is in-neighborhood). A gn floor above
+        box//r_c would shrink cells BELOW the cutoff and silently drop
+        pairs — regression for that clamp."""
+        g, box = 8, 2048.0   # r_c = 6.75 * 256 = 1728 > box/3
+        r = 500.0
+        pos3 = np.array([[-r / 2, 0, 0], [r / 2, 0, 0]], np.float32)
+        acc, overflow = p3m.p3m_accel_with_overflow(
+            aos(pos3), grid=g, box=box, g_const=MASS,
+            softening_squared=EPS2,
+        )
+        assert int(overflow) == 0
+        want = MASS / (r * r + EPS2) ** 1.5 * r
+        assert np.asarray(acc)[0, 0] == pytest.approx(want, rel=0.04)
+
     @pytest.mark.parametrize("r", [10.0, 130.0, 300.0, 432.0])
     def test_higher_cutoff_tightens(self, r):
         """cutoff_cells = 9 (sigma_eff = 2h) halves the worst-case error:

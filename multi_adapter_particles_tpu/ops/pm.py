@@ -107,7 +107,7 @@ def _segment_bounds(sbase: jax.Array, ncell: int) -> jax.Array:
     - recover those positions by a second 2-op sort that compacts the even
       (query) entries to the front carrying their merged index.
 
-    Two cheap sorts (~25 ms total at the same size) — bitwise identical
+    Two cheap sorts (~10 ms total at the same size) — bitwise identical
     bounds to the searchsorted they replace.
     """
     m = sbase.shape[0]

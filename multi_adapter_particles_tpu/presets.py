@@ -40,9 +40,14 @@ PRESETS = {
         "app": {"num_particles": 4_194_304, "gui": False, "vsync": False},
         "extra": {"force": "pm_grid", "draw": False, "steps": 30},
     },
-    # 64k exact-at-all-separations self-gravity (P3M): ~24x faster than
-    # the exact O(N^2) sum at this size, <1% RMS where capacity covers
-    # the local density (overflow reported at startup)
+    # 64k P3M self-gravity: exact-at-all-separations WHERE the near-cell
+    # capacity covers the local density. NOTE the demo's two-cluster init
+    # concentrates most particles into a few near cells (max ~7.5k/cell at
+    # this config — far beyond any static capacity), so the startup
+    # overflow report will show the cores falling back to the smooth mesh
+    # force; the halo and inter-cluster field get the exact correction.
+    # On moderate-density distributions (see examples/p3m_accuracy.py's
+    # halo scene) the same config is <0.1% RMS with overflow 0.
     "64k-p3m": {
         "app": {"num_particles": 65_536, "gui": False, "vsync": False},
         "extra": {

@@ -6,9 +6,12 @@ Two scenes, because the near-field capacity story differs:
   sweep covers every particle (overflow 0) and p3m delivers its <1% RMS
   promise at mesh-method cost.
 - "clusters": the demo's two dense blobs. Core cells exceed any
-  practical static capacity, the overflow count reports exactly how many
-  particles fell back to the smooth mesh force, and the RMS error lands
-  between pure PM and exact — an honest look at the degradation mode.
+  practical static capacity and the overflow count reports how many
+  particles fell back to the smooth LONG-RANGE mesh force — which is
+  smoother than pure PM's kernel, so on overflow-dominated scenes p3m is
+  WORSE than pm_grid (measured on v5e @8192: p3m 13.1% vs pm 8.3% RMS;
+  on the covered halo scene p3m is 0.03% vs pm 5.2%). Use pm_grid when
+  the startup overflow report is large.
 
     python examples/p3m_accuracy.py            # real TPU
     JAX_PLATFORMS=cpu python examples/p3m_accuracy.py --quick

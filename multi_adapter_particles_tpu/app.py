@@ -193,8 +193,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         if ov:
             print(
                 f"p3m: {ov} of {sim_cfg.num_particles} particles exceed "
-                f"near-cell capacity {sim_cfg.p3m_capacity} (mesh-only "
-                "force for them); raise -p3mcapacity or -pmgrid",
+                f"near-cell capacity {sim_cfg.p3m_capacity} — they keep "
+                "only the smooth long-range mesh force (WORSE than pure "
+                "pm_grid at small separations). Raise -p3mcapacity / "
+                "-pmgrid, or prefer -force pm_grid for this scene.",
                 flush=True,
             )
 

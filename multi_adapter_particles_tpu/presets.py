@@ -40,14 +40,26 @@ PRESETS = {
         "app": {"num_particles": 4_194_304, "gui": False, "vsync": False},
         "extra": {"force": "pm_grid", "draw": False, "steps": 30},
     },
+    # 16.8M self-gravity + exact splat on ONE chip: PM G=128 at ~550
+    # ms/step, the renderer folds id-ordered 4M chunks through the
+    # associative (C, T) composite (bounded memory at any N)
+    "16m-pm": {
+        "app": {"num_particles": 16_777_216, "gui": False, "vsync": False},
+        "extra": {
+            "force": "pm_grid", "steps": 10, "pm_grid_size": 128,
+            "interaction_scale": 1.0 / 16_777_216,
+        },
+    },
     # 64k P3M self-gravity: exact-at-all-separations WHERE the near-cell
     # capacity covers the local density. NOTE the demo's two-cluster init
     # concentrates most particles into a few near cells (max ~7.5k/cell at
     # this config — far beyond any static capacity), so the startup
-    # overflow report will show the cores falling back to the smooth mesh
-    # force; the halo and inter-cluster field get the exact correction.
-    # On moderate-density distributions (see examples/p3m_accuracy.py's
-    # halo scene) the same config is <0.1% RMS with overflow 0.
+    # overflow report will show the cores falling back to the smooth
+    # LONG-RANGE mesh force (worse than pure pm_grid at small
+    # separations — prefer pm_grid for this scene); the halo and
+    # inter-cluster field get the exact correction. On moderate-density
+    # distributions (see examples/p3m_accuracy.py's halo scene) the same
+    # config is <0.1% RMS with overflow 0.
     "64k-p3m": {
         "app": {"num_particles": 65_536, "gui": False, "vsync": False},
         "extra": {

@@ -476,6 +476,10 @@ class Renderer:
         # `chunk_size`-particle chunks (bounded memory at any N).
         self.chunk_threshold = 6_291_456
         self.chunk_size = 4_194_304
+        # Auto-raise budget: dup growth may not push N x dup sort entries
+        # past this (see raise_dup_for).
+        self.entry_budget = 64 * 1024 * 1024
+        self._last_n = 0
 
     def resolve_seg_q(self, n: int, seg_q: Optional[int] = None) -> int:
         """Adaptive segment size: ~half the mean entries per tile, [32, 256]."""
@@ -503,6 +507,7 @@ class Renderer:
         `chunk_threshold` render in id-ordered chunks folded through the
         associative (color, transmittance) composite — bounded memory at
         any N (a 16.8M single-pass sort measured 36 GB peak)."""
+        self._last_n = position.shape[1]
         if position.shape[1] > self.chunk_threshold:
             return self._render_chunked(
                 position, camera, particle_size, particle_intensity,
@@ -603,6 +608,13 @@ class Renderer:
         tiles; a re-render with the new window is lossless). Reads the
         span scalars from the device — call on an already-materialized
         frame (present) or when a sync is acceptable.
+
+        The growth is bounded by `entry_budget`: sort entries = N x dup,
+        so one near-camera sprite must not multiply a multi-million-
+        particle pipeline (a 16.8M app frame measured ~50x slower when a
+        single spanning sprite raised dup for ALL entries). Within the
+        budget the raise is lossless; beyond it the frame stays truncated
+        and counted — small-N close-ups (the GUI size-10 case) always fit.
         """
         if int(out.truncated) == 0:
             return False
@@ -610,6 +622,17 @@ class Renderer:
         gw = self.config.width // TILE_W
         new_y = max(self.dup_y, min(int(out.span_y), gh))
         new_x = max(self.dup_x, min(int(out.span_x), gw))
+        n = self._last_n or 0
+        if n:
+            max_dup = max(4, self.entry_budget // n)
+            while new_y * new_x > max_dup:
+                # shrink the larger axis first; never below the current
+                if new_y >= new_x and new_y > self.dup_y:
+                    new_y -= 1
+                elif new_x > self.dup_x:
+                    new_x -= 1
+                else:
+                    break
         if (new_y, new_x) == (self.dup_y, self.dup_x):
             return False
         self.dup_y, self.dup_x = new_y, new_x

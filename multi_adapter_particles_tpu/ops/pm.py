@@ -263,17 +263,43 @@ def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
     return jnp.concatenate(corners, axis=1)             # [G³, 32]
 
 
+_INTERP_CHUNK = 2_097_152  # particles per fused gather+weight chunk
+
+
 def _interp(acc32, position, grid: int, box: float) -> jax.Array:
-    """Trilinear gather-back in particle order -> accel [3, N]."""
+    """Trilinear gather-back in particle order -> accel [3, N].
+
+    Above `_INTERP_CHUNK` particles the gather+weight+reduce runs fused
+    per chunk through `lax.map`, so the [N, 8, 4] gathered-neighborhood
+    intermediate (2.1 GB at 16.8M) never materializes — each chunk emits
+    its reduced [chunk, 4] directly. Bitwise identical to the one-shot
+    path."""
     from multi_adapter_particles_tpu.ops.rowgather import gather_rows
 
     g = grid
+    n = position.shape[1]
     i0, frac, inside = _cic_cells(position, g, box)
     i0c = jnp.clip(i0, 0, g - 2)
     cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
-    rows = gather_rows(acc32, cid).reshape(position.shape[1], 8, 4)
     w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
-    acc = jnp.sum(rows * w8[:, :, None], axis=1)        # [N, 4]
+
+    def fused(ci, wi):
+        rows = gather_rows(acc32, ci).reshape(ci.shape[0], 8, 4)
+        return jnp.sum(rows * wi[:, :, None], axis=1)   # [chunk, 4]
+
+    if n <= _INTERP_CHUNK:
+        acc = fused(cid, w8)
+    else:
+        k = -(-n // _INTERP_CHUNK)
+        pad = k * _INTERP_CHUNK - n
+        cid_p = jnp.concatenate([cid, jnp.zeros(pad, cid.dtype)]) if pad else cid
+        w8_p = (
+            jnp.concatenate([w8, jnp.zeros((pad, 8), w8.dtype)]) if pad else w8
+        )
+        acc = jax.lax.map(
+            lambda args: fused(*args),
+            (cid_p.reshape(k, _INTERP_CHUNK), w8_p.reshape(k, _INTERP_CHUNK, 8)),
+        ).reshape(k * _INTERP_CHUNK, 4)[:n]
     return jnp.where(inside[None, :], acc[:, :3].T, 0.0)
 
 

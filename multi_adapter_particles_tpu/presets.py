@@ -40,17 +40,14 @@ PRESETS = {
         "app": {"num_particles": 4_194_304, "gui": False, "vsync": False},
         "extra": {"force": "pm_grid", "draw": False, "steps": 30},
     },
-    # 16.8M self-gravity on ONE chip: PM G=128 at ~550 ms/step. Sim-only:
-    # the library-level chunked renderer handles 16.8M (928 ms measured,
-    # sequential), but the PIPELINED app loop at this N pins two state
-    # generations + render chunks against PM's ~13 GB peak and stalls the
-    # 16 GB chip — render interactively at <= 4M, or drive the renderer
-    # directly (see ROADMAP).
+    # 16.8M self-gravity + exact splat on ONE chip: PM G=128 ~550 ms/step
+    # + chunked-composite render ~930 ms (the interp's fused gather+weight
+    # chunks keep the pipelined peak inside the 16 GB chip)
     "16m-pm": {
         "app": {"num_particles": 16_777_216, "gui": False, "vsync": False},
         "extra": {
-            "force": "pm_grid", "draw": False, "steps": 10,
-            "pm_grid_size": 128, "interaction_scale": 1.0 / 16_777_216,
+            "force": "pm_grid", "steps": 10, "pm_grid_size": 128,
+            "interaction_scale": 1.0 / 16_777_216,
         },
     },
     # 64k P3M self-gravity: exact-at-all-separations WHERE the near-cell

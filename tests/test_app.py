@@ -85,3 +85,27 @@ def test_listadapters(capsys):
     rc = run(["-listadapters"])
     assert rc == 0
     assert "cpu" in capsys.readouterr().out
+
+
+def test_preset_extra_keys_are_consumed():
+    """Every key a preset writes into `extra` must be one main() actually
+    reads — a typo'd key would silently no-op (regression for the
+    pm_grid_size/pm_box wiring)."""
+    from multi_adapter_particles_tpu.config import AppConfig
+    from multi_adapter_particles_tpu.presets import PRESETS, apply_preset
+
+    consumed = {
+        "checkpoint", "checkpoint_every", "compute_adapter", "dashboard",
+        "debug", "draw", "dumpframe", "force", "frame_uint8", "fused",
+        "height", "interaction_scale", "interactive", "list_adapters",
+        "mesh_devices", "metrics", "p3m_capacity", "p3m_cutoff_cells",
+        "pm_box", "pm_grid_size", "profile_every", "render_adapter",
+        "resume", "seed", "serve", "steps", "trace", "width",
+    }
+    for name in PRESETS:
+        app = AppConfig()
+        extra: dict = {}
+        apply_preset(name, app, extra)
+        unknown = set(extra) - consumed
+        assert not unknown, f"preset {name!r} writes unconsumed keys {unknown}"
+        assert app.num_particles > 0

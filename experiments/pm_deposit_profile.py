@@ -13,6 +13,12 @@ Round-2 history @4M/G=128 on one v5e:
   across the 8 corners, and half-precision storage broke it (7.5%
   two-body far-field error). The gather stays particle-order fp32.
 
+NOTE: the interp stages here still issue the PLAIN narrow gather; the
+production path (`pm._interp`) now goes through the lane-packed
+`ops/rowgather.gather_rows` with fused gather+weight chunking — use the
+end-to-end pm_accel number below as the production figure (152.5 ms
+@4M/G=128 on v5e) and these stages for structure attribution only.
+
 Run on the real chip:  python experiments/pm_deposit_profile.py [N] [G]
 """
 

@@ -251,6 +251,27 @@ class TestTpuRenderer:
 
 
 class TestAutoRaiseDup:
+    def test_entry_budget_caps_growth(self):
+        """A spanning sprite must not raise dup past the entry budget —
+        at huge N each raise recompiles and multiplies the sort
+        (regression for the 16.8M ~50x frame blow-up)."""
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        pos = np.array([[0, 0, 0, 0]], dtype=np.float32)
+        st = ParticleState.from_aos(pos, np.zeros((1, 3), np.float32))
+        cfg = RenderConfig(width=256, height=256)
+        r = Renderer(cfg)
+        r.entry_budget = 4  # pretend N x dup is already at the budget
+        out = r.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
+        assert int(out.truncated) > 0
+        grew = r.raise_dup_for(out)
+        assert not grew and (r.dup_y, r.dup_x) == (2, 2)
+        # with budget, the same frame raises freely
+        r2 = Renderer(cfg)
+        out2 = r2.render_arrays(st.position, cam.Camera(), 200.0, 0.5)
+        assert r2.raise_dup_for(out2)
+        assert r2.dup_y * r2.dup_x > 4
+
     def test_size10_closeup_golden(self):
         """GUI-size-10 sprites with a close camera span many tiles: the
         auto-raised dup window makes the frame lossless (truncated == 0)

@@ -60,8 +60,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_str("force", "force model: central_well | all_pairs | pm_grid | p3m",
               lambda v: extra.__setitem__("force", v))
     p.add_float("interactionscale",
-                "per-pair force multiplier (use 1/N to keep the total mass "
-                "at the central-well value for self-gravity models)",
+                "per-pair force multiplier (default: auto — 1/N for the "
+                "self-gravity models, keeping the total mass at the "
+                "central-well value; 1.0 for central_well)",
                 lambda v: extra.__setitem__("interaction_scale", v))
     p.add_int("pmgrid", "pm_grid/p3m mesh resolution per axis",
               lambda v: extra.__setitem__("pm_grid_size", v))
@@ -71,6 +72,11 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                 lambda v: extra.__setitem__("p3m_cutoff_cells", v))
     p.add_int("p3mcapacity", "p3m near-cell particle capacity",
               lambda v: extra.__setitem__("p3m_capacity", v))
+    p.add_str("p3mnear",
+              "p3m near-field engine: auto | slots | tree (auto probes the "
+              "initial state and picks tree when the slot capacity would "
+              "overflow — e.g. the demo's cluster cores)",
+              lambda v: extra.__setitem__("p3m_near_mode", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_int("computeadapter", "compute adapter index",
@@ -88,6 +94,10 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               lambda v: extra.__setitem__("metrics", v))
     p.add_int("profileevery", "hard-sync stage timing every K frames",
               lambda v: extra.__setitem__("profile_every", v))
+    p.add_int("timerwindow",
+              "device stage-timer trace cadence in frames (first window "
+              "always fires early, at frame 8)",
+              lambda v: extra.__setitem__("timer_window_every", v))
     p.add_flag("nodraw", "simulate only (SPACE-toggle analog)",
                lambda: extra.__setitem__("draw", False))
     p.add_flag("interactive",
@@ -146,16 +156,49 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"[{a.index}] {a.platform:4s} {a.description}")
         return 0
 
+    near_mode = extra.get("p3m_near_mode", "auto")
+    if extra.get("force") == "p3m" and near_mode == "auto":
+        # Probe the initial state host-side: if the slot sweep's capacity
+        # would overflow (the demo's cluster cores), run the tree near
+        # field instead — exact on any density contrast (ops/treeforce.py).
+        from multi_adapter_particles_tpu.models import init as pinit
+        from multi_adapter_particles_tpu.ops.p3m import host_overflow_count
+
+        pos0, _ = pinit.initialize_particles_host(
+            app_cfg.num_particles, seed=extra.get("seed", 0)
+        )
+        ov = host_overflow_count(
+            pos0.T,
+            extra.get("pm_grid_size", SimConfig.pm_grid_size),
+            extra.get("pm_box", SimConfig.pm_box),
+            extra.get("p3m_cutoff_cells", SimConfig.p3m_cutoff_cells),
+            extra.get("p3m_capacity", SimConfig.p3m_capacity),
+        )
+        near_mode = "tree" if ov else "slots"
+        print(
+            f"p3m: near-field auto probe -> {near_mode}"
+            + (
+                f" ({ov} particles would overflow the slot capacity)"
+                if ov
+                else " (slot capacity covers the scene)"
+            ),
+            flush=True,
+        )
+
     sim_cfg = SimConfig(
         num_particles=app_cfg.num_particles,
         force_model=extra.get("force", "central_well"),
-        interaction_scale=extra.get("interaction_scale", 1.0),
+        # None = auto: 1.0 for central_well, 1/N for the self-gravity
+        # models (keeps total mass at the central-well value; forgetting
+        # the manual 1/N used to change the physics by ~1e6x)
+        interaction_scale=extra.get("interaction_scale"),
         pm_grid_size=extra.get("pm_grid_size", SimConfig.pm_grid_size),
         pm_box=extra.get("pm_box", SimConfig.pm_box),
         p3m_cutoff_cells=extra.get(
             "p3m_cutoff_cells", SimConfig.p3m_cutoff_cells
         ),
         p3m_capacity=extra.get("p3m_capacity", SimConfig.p3m_capacity),
+        p3m_near_mode=near_mode,
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),
@@ -179,9 +222,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_devices=extra.get("mesh_devices", 0),
         debug=extra.get("debug", False),
         fused=extra.get("fused", False),
+        timer_window_every=extra.get("timer_window_every", 64),
     )
 
-    if sim_cfg.force_model == "p3m":
+    if sim_cfg.force_model == "p3m" and sim_cfg.p3m_near_mode == "slots":
         # near-field coverage on the initial state: overflowing particles
         # keep the smooth mesh force only (host-side count, no compiles)
         from multi_adapter_particles_tpu.ops.p3m import host_overflow_count
@@ -195,8 +239,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"p3m: {ov} of {sim_cfg.num_particles} particles exceed "
                 f"near-cell capacity {sim_cfg.p3m_capacity} — they keep "
                 "only the smooth long-range mesh force (WORSE than pure "
-                "pm_grid at small separations). Raise -p3mcapacity / "
-                "-pmgrid, or prefer -force pm_grid for this scene.",
+                "pm_grid at small separations). Use -p3mnear tree (exact "
+                "on any density contrast), raise -p3mcapacity / -pmgrid, "
+                "or prefer -force pm_grid for this scene.",
                 flush=True,
             )
 
@@ -228,6 +273,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     def overlay(p: ParticlesApp):
         if server is not None:
             server.drain()
+            # live viewer: push the frame to any connected /stream client
+            # (free when none; rate-limited inside)
+            server.publish_frame(p.render.last_frame)
         if app_cfg.gui and p.frame_count % 30 == 0:
             print(f"--- frame {p.frame_count} ---")
             print(p.metrics.render_text())

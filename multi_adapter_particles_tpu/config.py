@@ -43,7 +43,12 @@ class SimConfig:
     force_model: str = "central_well"
     # Multiplier applied per interaction in the all-pairs model — the
     # `particles` argument of bodyBodyInteraction (nBodyGravityCS.hlsl:54).
-    interaction_scale: float = 1.0
+    # None = auto: 1.0 for central_well (the reference's baked constants,
+    # `Compute.cpp:543-546`, are per-well, not per-pair) and 1/N for the
+    # self-gravity models (all_pairs/pm_grid/p3m), which keeps the TOTAL
+    # attracting mass at the central-well value instead of scaling it by
+    # the particle count — forgetting the 1/N changed the physics by ~1e6x.
+    interaction_scale: Optional[float] = None
     # pm_grid/p3m parameters: mesh resolution per axis and box extent (world
     # units); particles outside the box feel/exert no PM force.
     pm_grid_size: int = 64
@@ -53,6 +58,11 @@ class SimConfig:
     # smooth mesh force only; the overflow count is a runtime metric).
     p3m_cutoff_cells: float = 6.75
     p3m_capacity: int = 64
+    # Near-field engine: "slots" = static-K 27-cell sweep; "tree" = the
+    # Morton-block dual-tree sweep (ops/treeforce.py), exact on any
+    # density contrast; "auto" = slots unless the CLI's startup overflow
+    # probe finds the scene overflowing (then tree).
+    p3m_near_mode: str = "auto"
     # Mesh runs: solve the PM field with the slab-decomposed distributed
     # FFT (parallel/dist_fft.py) instead of redundant per-device solves.
     # Worth it for G >= 256 (the doubled spectrum alone is 540 MB); needs
@@ -66,6 +76,24 @@ class SimConfig:
             "central_well", "all_pairs", "pm_grid", "p3m"
         ):
             raise ValueError(f"unknown force_model {self.force_model!r}")
+        if self.interaction_scale is None:
+            object.__setattr__(
+                self,
+                "interaction_scale",
+                1.0
+                if self.force_model == "central_well"
+                else 1.0 / self.num_particles,
+            )
+        if self.p3m_near_mode not in ("auto", "slots", "tree"):
+            raise ValueError(
+                f"unknown p3m_near_mode {self.p3m_near_mode!r}"
+            )
+        if self.force_model == "p3m":
+            from multi_adapter_particles_tpu.ops.p3m import (
+                validate_cutoff_cells,
+            )
+
+            validate_cutoff_cells(self.p3m_cutoff_cells)
 
 
 @dataclasses.dataclass(frozen=True)

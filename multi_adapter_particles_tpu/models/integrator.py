@@ -182,6 +182,7 @@ def make_step(
                 box=config.pm_box,
                 cutoff_cells=config.p3m_cutoff_cells,
                 capacity=config.p3m_capacity,
+                near_mode=config.p3m_near_mode,
             )
         else:
             mask = None  # padding mask applied by caller via closure below

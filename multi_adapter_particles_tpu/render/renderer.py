@@ -480,6 +480,10 @@ class Renderer:
         # past this (see raise_dup_for).
         self.entry_budget = 64 * 1024 * 1024
         self._last_n = 0
+        # particles per sort dispatch of the LAST render: == _last_n for
+        # single-pass frames, the chunk width for chunked ones (drives the
+        # auto-raise budget — chunked frames sort chunk-sized batches)
+        self._last_sort_n = 0
 
     def resolve_seg_q(self, n: int, seg_q: Optional[int] = None) -> int:
         """Adaptive segment size: ~half the mean entries per tile, [32, 256]."""
@@ -513,6 +517,7 @@ class Renderer:
                 position, camera, particle_size, particle_intensity,
                 num_draw, seg_q,
             )
+        self._last_sort_n = position.shape[1]
         cfg = self.config
         proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
         wvp = camera.world_view_projection(
@@ -560,10 +565,20 @@ class Renderer:
         reassociation of the per-pixel blend."""
         cfg = self.config
         n = position.shape[1]
+        # Lane-aligned chunk width covering n with a parked-padding tail —
+        # no exact-divisor requirement (an N with no divisor near
+        # ceil(n/chunk_size), e.g. 2*prime, must not degenerate into
+        # millions of tiny dispatches).
         k = -(-n // self.chunk_size)
-        while n % k:
-            k += 1
-        cn = n // k
+        cn = -(-(-(-n // k)) // 128) * 128
+        k = -(-n // cn)
+        self._last_sort_n = cn
+        if k * cn > n:
+            from multi_adapter_particles_tpu.models.state import PAD_POSITION
+
+            pad = jnp.full((4, k * cn - n), PAD_POSITION, position.dtype)
+            pad = pad.at[3, :].set(0.0)
+            position = jnp.concatenate([position, pad], axis=1)
         proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
         wvp = jnp.asarray(camera.world_view_projection(
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
@@ -622,7 +637,11 @@ class Renderer:
         gw = self.config.width // TILE_W
         new_y = max(self.dup_y, min(int(out.span_y), gh))
         new_x = max(self.dup_x, min(int(out.span_x), gw))
-        n = self._last_n or 0
+        # Budget against the actual per-dispatch sort size: chunked frames
+        # sort chunk_size*dup entries at a time, so dividing by the FULL
+        # particle count would under-raise (dup=4 at 16.8M when each chunk
+        # could afford 4x more).
+        n = self._last_sort_n or self._last_n or 0
         if n:
             max_dup = max(4, self.entry_budget // n)
             while new_y * new_x > max_dup:

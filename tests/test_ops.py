@@ -81,7 +81,8 @@ class TestAllPairsKernel:
         from multi_adapter_particles_tpu.config import SimConfig
 
         step = integrator.make_step(
-            SimConfig(num_particles=n, force_model="all_pairs"),
+            SimConfig(num_particles=n, force_model="all_pairs",
+                      interaction_scale=1.0),  # accel_fn is unscaled
             accel_fn=accel_fn,
             donate=False,
         )

@@ -217,6 +217,33 @@ class TestTpuRenderer:
             )
             assert int(out.truncated) == int(ref_out.truncated)
 
+    def test_chunked_handles_divisor_free_n(self):
+        """Chunking must not require the chunk count to divide N: the last
+        chunk is padded with parked (render-inert) particles instead of the
+        old divisor search (which degenerated into up-to-N tiny dispatches
+        for an N like 2*prime)."""
+        rng = np.random.default_rng(33)
+        n = 640  # chunk_size=256 -> k=3 does not divide 640
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-300, 300, size=(n, 3)).astype(np.float32)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        cfg = RenderConfig(width=256, height=128)
+        single = Renderer(cfg)
+        ref_out = single.render_arrays(st.position, cam.Camera(), 6.0, 0.5)
+        chunked = Renderer(cfg)
+        chunked.chunk_threshold = 256
+        chunked.chunk_size = 256
+        out = chunked.render_arrays(st.position, cam.Camera(), 6.0, 0.5)
+        np.testing.assert_allclose(
+            np.asarray(out.frame), np.asarray(ref_out.frame), atol=2e-5
+        )
+        # the auto-raise budget divides by the per-dispatch sort size (the
+        # chunk width), not the full particle count
+        assert chunked._last_sort_n == 256
+        assert single._last_sort_n == st.position.shape[1]
+
     def test_uint8_frame_mode(self):
         """RenderConfig.frame_uint8 (the swap-chain R8G8B8A8_UNORM analog)
         quantizes on device: dtype uint8 and within 1 LSB of the fp32

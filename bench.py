@@ -155,6 +155,48 @@ def _bench_render(jax, n: int, warm: int, timed: int) -> dict:
     }
 
 
+def _bench_fused(jax, n: int, warm: int, timed: int) -> dict:
+    """Fused single-program frame @720p (the async-compute analog,
+    `/root/reference/Particles/Compute.cpp:956-987`). Driver-recorded so a
+    fused regression is visible every round (VERDICT r2 #5/#3)."""
+    from multi_adapter_particles_tpu.config import (
+        AppConfig, RenderConfig, SimConfig,
+    )
+    from multi_adapter_particles_tpu.runtime.orchestrator import ParticlesApp
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    app = ParticlesApp(
+        AppConfig(num_particles=n, vsync=False, gui=False),
+        SimConfig(num_particles=n),
+        RenderConfig(width=1280, height=720),
+        seed=42,
+        fused=True,
+        async_timers=False,
+    )
+
+    def drain():
+        app.compute.wait_for_gpu()
+        if app.render.last_frame is not None:
+            sync(app.render.last_frame)
+
+    for _ in range(warm):
+        app.draw()
+    drain()
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        app.draw()
+    drain()
+    ms = (time.perf_counter() - t0) * 1000.0 / timed
+    app.shutdown()
+    return {
+        "metric": f"fused-mode frame ms @ {n} particles, 1280x720 "
+        "(single-program sim+render)",
+        "value": ms,
+        "unit": "ms/frame",
+        "vs_baseline": FRAME_BUDGET_MS / ms,
+    }
+
+
 def _bench_pm(jax, n: int, grid: int, steps: int) -> dict:
     """pm_grid 4M G=128 step (regression gate vs round 1's 553 ms)."""
     from multi_adapter_particles_tpu.config import SimConfig
@@ -213,6 +255,7 @@ def main() -> int:
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
         ("frame", lambda: _bench_frame(jax, n_frame, warm, timed)),
+        ("fused", lambda: _bench_fused(jax, n_frame, warm, timed)),
     ):
         try:
             extra.append(fn())
@@ -220,6 +263,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep benching
             extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
             note(f"bench: {name} FAILED: {e}")
+    # fused vs split head-to-head: the async-compute analog's claimed win,
+    # recorded by the driver every round (>1 = fused faster)
+    split_ms = next(
+        (e["value"] for e in extra if "split-mode frame" in e.get("metric", "")),
+        None,
+    )
+    for e in extra:
+        if "fused-mode frame" in e.get("metric", "") and split_ms:
+            e["vs_split"] = split_ms / e["value"]
     out = dict(headline)
     out["extra"] = extra
     print(json.dumps(out))

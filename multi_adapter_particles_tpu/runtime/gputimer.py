@@ -88,11 +88,18 @@ class ProfilerStageTimer:
         stage_patterns: Optional[Dict[str, Tuple[str, ...]]] = None,
         window_every: int = 64,
         window_frames: int = 4,
+        first_window: int = 8,
     ):
+        """`first_window`: frame of the FIRST trace window. The reference
+        times every frame (`D3D12GpuTimer.h:117-160`); an early first
+        window (post-compile, default frame 8) makes short runs and demos
+        record stage rows too — round 2's 64-frame-aligned duty cycle left
+        any run under ~60 frames with empty stages_ms."""
         self.metrics = metrics or MetricsRegistry()
         self.stage_patterns = stage_patterns or dict(DEFAULT_STAGE_PATTERNS)
         self.window_every = max(int(window_every), int(window_frames) + 1)
         self.window_frames = max(1, int(window_frames))
+        self._next_window = max(1, int(first_window))
         self._active_since: Optional[int] = None
         self._log_dir: Optional[str] = None
         self._parsers: list = []
@@ -107,12 +114,8 @@ class ProfilerStageTimer:
             if frame_count - self._active_since >= self.window_frames:
                 self._stop_and_parse()
             return
-        # Trigger on the LAST window_frames of each window period so the
-        # first trace (frame window_every - window_frames) is post-compile.
-        if (
-            frame_count % self.window_every
-            == self.window_every - self.window_frames
-        ):
+        if frame_count >= self._next_window:
+            self._next_window = frame_count + self.window_every
             self._start(frame_count)
 
     def _start(self, frame_count: int) -> None:

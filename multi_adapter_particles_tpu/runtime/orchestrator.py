@@ -44,6 +44,7 @@ class ParticlesApp:
         debug: bool = False,
         fused: bool = False,
         async_timers: Optional[bool] = None,
+        timer_window_every: int = 64,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many
         devices (sharded sim + ring force exchange) — the multi-adapter
@@ -82,7 +83,9 @@ class ParticlesApp:
         if async_timers is None:
             async_timers = self.app.gui and not debug
         self.stage_timer = (
-            ProfilerStageTimer(self.metrics) if async_timers else None
+            ProfilerStageTimer(self.metrics, window_every=timer_window_every)
+            if async_timers
+            else None
         )
 
         self.adapters: List[devmod.AdapterInfo] = devmod.enumerate_adapters()

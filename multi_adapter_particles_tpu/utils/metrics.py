@@ -25,12 +25,24 @@ from multi_adapter_particles_tpu.utils.timers import StageTimer, TimerAverageOve
 class MetricsRegistry:
     """Per-frame metrics: stages (EMA ms), counters, gauges."""
 
-    def __init__(self, stage_window: int = 20, frame_window: int = 20):
+    def __init__(
+        self,
+        stage_window: int = 20,
+        frame_window: int = 20,
+        frame_skip: int = 3,
+    ):
+        """`frame_skip`: number of initial frame laps excluded from the
+        rolling frame-time average. The first frames fold compilation
+        (30+ s at large N) into the window; the reference's EMA starts
+        post-init (`Particles.cpp:432-434` — timing begins once the loop
+        runs), so the steady-state analog skips the warm-up laps."""
         self.stages: Dict[str, StageTimer] = {}
         self.counters: Dict[str, float] = {}
         self.gauges: Dict[str, object] = {}
         self.frame_timer = TimerAverageOver(frame_window)
         self._stage_window = stage_window
+        self._frame_skip = max(0, int(frame_skip))
+        self._frame_laps = 0
         self._t0 = time.perf_counter()
 
     # -- stages ---------------------------------------------------------------
@@ -47,8 +59,14 @@ class MetricsRegistry:
         self.gauges[name] = value
 
     def frame_tick(self) -> float:
-        """Call once per frame; returns the rolling average frame seconds."""
+        """Call once per frame; returns the rolling average frame seconds.
+        The first `frame_skip` laps (compile frames) only reset the lap
+        clock — they never enter the average."""
         self.count("frames")
+        self._frame_laps += 1
+        if self._frame_laps <= self._frame_skip:
+            self.frame_timer.reset_lap()
+            return self.frame_timer.average
         return self.frame_timer.update()
 
     # -- derived ----------------------------------------------------------------

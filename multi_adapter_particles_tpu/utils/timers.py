@@ -80,6 +80,11 @@ class TimerAverageOver:
         self._last = now
         return self.average
 
+    def reset_lap(self) -> None:
+        """Restart the lap clock without recording a sample (used to keep
+        compile/warm-up frames out of the average)."""
+        self._last = time.perf_counter()
+
     def add_sample(self, seconds: float):
         self._samples[self._idx] = seconds
         self._idx = (self._idx + 1) % self.window

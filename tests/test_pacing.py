@@ -37,7 +37,7 @@ def make_app(**kw):
 
 class TestFrameLatencyQueue:
     def test_depth_never_exceeds_max(self):
-        q = FrameLatencyQueue(max_latency=2)
+        q = FrameLatencyQueue(max_latency=2, transport_compensation=False)
         x = jnp.ones((8, 128))
         for _ in range(10):
             q.push(x * 2.0)
@@ -66,7 +66,9 @@ class TestFrameLatencyQueue:
         app = make_app()
         for _ in range(12):
             app.draw()
-            assert len(app.pacing) <= app.app.max_frame_latency
+            # the bound is max_latency plus any transport slack (zero on a
+            # local backend unless the host is briefly stalled)
+            assert len(app.pacing) <= app.pacing.allowed_in_flight
         app.shutdown()
         assert len(app.pacing) == 0
 
@@ -74,15 +76,54 @@ class TestFrameLatencyQueue:
         app = make_app(draw_enabled=False)
         for _ in range(8):
             app.draw()
-            assert len(app.pacing) <= 2
+            assert len(app.pacing) <= app.pacing.allowed_in_flight
         app.shutdown()
 
     def test_fused_novsync_bounded(self):
         app = make_app(fused=True)
         for _ in range(8):
             app.draw()
-            assert len(app.pacing) <= 2
+            assert len(app.pacing) <= app.pacing.allowed_in_flight
         app.shutdown()
+
+    def test_transport_compensation_hides_confirmation_lag(self, monkeypatch):
+        """With a slow (tunnel-like) confirmation round-trip, the queue
+        learns the RTT and admits rtt/frame_time extra unconfirmed frames
+        so the loop is not throttled by visibility lag (the 36 ms-RTT axon
+        tunnel stalled a 17 ms device frame to 36 ms wall at max_latency=2
+        — experiments/frame_profile.py)."""
+        import time as _t
+
+        rtt = 0.05
+        monkeypatch.setattr(
+            "multi_adapter_particles_tpu.runtime.pacing.sync",
+            lambda x: _t.sleep(rtt),
+        )
+        q = FrameLatencyQueue(max_latency=2, max_extra=16)
+        x = jnp.ones((4, 4))
+        t0 = _t.perf_counter()
+        n_push = 60
+        for _ in range(n_push):
+            q.push(x)
+        dt = _t.perf_counter() - t0
+        q.drain()
+        q.close()
+        # uncompensated: ~1 RTT per max_latency frames = n/2 * rtt = 1.5 s.
+        # compensated: the bound ramps up each confirm cycle (the estimate
+        # feeds back) and later pushes stop blocking.
+        assert q.allowed_in_flight > 2
+        assert dt < 0.9, f"pushes took {dt:.2f}s — compensation inactive"
+
+    def test_compensation_inert_on_fast_transport(self, monkeypatch):
+        """Sub-millisecond confirmations (a local chip) must keep the
+        reference bound exactly."""
+        q = FrameLatencyQueue(max_latency=2)
+        x = jnp.ones((4, 4))
+        for _ in range(12):
+            q.push(x)
+        q.drain()
+        assert q.allowed_in_flight == 2
+        q.close()
 
     def test_custom_latency_flag(self):
         cfg = AppConfig(
@@ -150,10 +191,29 @@ class TestProfilerStageTimer:
         for f in range(20):
             t.on_frame(f)
         t.flush()
-        # trigger frames: 6 and 14 (window_every - window_frames mod 8)
+        # trigger frames: 8 (the early first window) then 16 (+window_every)
         assert [c[0] for c in calls] == ["start", "stop", "start", "stop"]
         assert t.windows_parsed == 2
         assert m.stages["simulate"].milliseconds == pytest.approx(123.0)
+
+    def test_first_window_fires_early_for_short_runs(self, monkeypatch):
+        """A run of only 12 frames must still record one stage window
+        (VERDICT r2 #4: the old 64-frame-aligned cadence left every demo
+        under ~60 frames with empty stages_ms)."""
+        m = MetricsRegistry()
+        t = ProfilerStageTimer(m, window_every=64, window_frames=4)
+        calls = []
+        monkeypatch.setattr(
+            "jax.profiler.start_trace", lambda d: calls.append("start")
+        )
+        monkeypatch.setattr(
+            "jax.profiler.stop_trace", lambda: calls.append("stop")
+        )
+        monkeypatch.setattr(t, "_parse", lambda log_dir: None)
+        for f in range(12):
+            t.on_frame(f)
+        t.flush()
+        assert calls == ["start", "stop"]  # opened at frame 8, closed at 12
 
     def test_conflicting_trace_disables_gracefully(self, monkeypatch):
         def boom(d):

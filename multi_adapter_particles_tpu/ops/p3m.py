@@ -52,6 +52,24 @@ from multi_adapter_particles_tpu.ops import pm
 _SIGMA_PER_CUTOFF = 1.0 / 4.5   # sigma_eff = r_c/4.5: tail there ≈ 1.4e-4
 _CIC2_VARIANCE_CELLS = 1.0 / 3.0  # variance added by deposit+interp CIC, h²
 
+# σ_tab² = σ_eff² - h²/3 must stay positive: the CIC windows ALONE may not
+# contribute more variance than the whole effective Gaussian. In cutoff
+# units that is (cutoff_cells/4.5)² > 1/3.
+MIN_CUTOFF_CELLS = _CIC2_VARIANCE_CELLS**0.5 / _SIGMA_PER_CUTOFF  # ≈ 2.598
+
+
+def validate_cutoff_cells(cutoff_cells: float) -> None:
+    """Reject cutoffs whose σ_tab² = σ_eff² - h²/3 would go non-positive
+    (a negative base under **0.5 produced an opaque complex-dtype
+    TypeError deep inside jnp before this guard)."""
+    if (cutoff_cells * _SIGMA_PER_CUTOFF) ** 2 <= _CIC2_VARIANCE_CELLS:
+        raise ValueError(
+            f"p3m cutoff_cells={cutoff_cells} is below the minimum usable "
+            f"cutoff (~{MIN_CUTOFF_CELLS:.3f} cells): the CIC deposit+interp "
+            "variance h²/3 would exceed σ_eff² and the tabulated kernel "
+            "width σ_tab would be imaginary. Raise -p3mcutoff."
+        )
+
 
 def _g_long(d2, sigma):
     """Ewald long-range pair factor for a Gaussian-smoothed unit source:
@@ -100,7 +118,7 @@ def _short_factor(d2, eps2, sigma_eff):
     return s_exact - _g_long(d2, sigma_eff)
 
 
-def _long_grad_kernels_rfft(grid: int, box: float, eps2: float, r_c: float):
+def _long_grad_kernels_rfft(grid: int, box: float, r_c: float):
     """rffts of the ANALYTIC acceleration kernels
     K_axis(v) = -g_l(|v|; σ_tab) v_axis on the doubled grid (min-image
     offsets). Pure function of statics — constant-folded under jit.
@@ -135,12 +153,14 @@ def _long_grad_kernels_rfft(grid: int, box: float, eps2: float, r_c: float):
 
 
 def _accel_rows_long(rho, grid: int, box: float, g_const: float,
-                     eps2: float, r_c: float):
+                     r_c: float):
     """Long-range field solve -> packed [G³, 32] rows (the analog of
     `pm._accel_rows` with analytic gradient kernels: one shared forward
-    transform, three pruned inverses)."""
+    transform, three pruned inverses). Softening is intentionally absent
+    here — it lives only in `_short_factor`'s s_exact term (it is ≤0.1%
+    of the force beyond 2 cells, where the mesh share matters)."""
     g = grid
-    kx, ky, kz = _long_grad_kernels_rfft(g, box, eps2, r_c)
+    kx, ky, kz = _long_grad_kernels_rfft(g, box, r_c)
     fr = pm._rfft_pruned(rho, g)
     scale = jnp.float32(g_const)
     ax = pm._irfft_pruned(fr * kx, g) * scale
@@ -287,7 +307,7 @@ def near_field_correction(
     jax.jit,
     static_argnames=(
         "grid", "box", "g_const", "softening_squared", "cutoff_cells",
-        "capacity",
+        "capacity", "near_mode", "pair_budget",
     ),
 )
 def p3m_accel_with_overflow(
@@ -298,21 +318,39 @@ def p3m_accel_with_overflow(
     softening_squared: float = 25.0,
     cutoff_cells: float = 6.75,
     capacity: int = 64,
+    near_mode: str = "slots",
+    pair_budget: int | None = None,
 ):
-    """-> (accel [3, N], overflow): mesh long-range + pairwise short-range."""
+    """-> (accel [3, N], overflow): mesh long-range + pairwise short-range.
+
+    `near_mode`: "slots" = the static-K 27-cell sweep (fastest on
+    uniform-to-moderate scenes; overflow counts particles losing their
+    correction); "tree" = the Morton-block dual-tree sweep
+    (`ops/treeforce.py` — exact near field on ANY density contrast,
+    including the demo's cluster cores; overflow counts dropped block
+    pairs, 0 in practice)."""
+    validate_cutoff_cells(cutoff_cells)
     r_c = cutoff_cells * box / grid
     gn = max(int(box // r_c), 1)          # cell size box/gn >= r_c; at
     # gn <= 2 the 27-neighborhood spans the whole grid, so coverage holds
     # even when r_c > box/3 (a gn floor of 3 would shrink cells BELOW the
     # cutoff and silently miss pairs)
     rho = pm.deposit_cic(position, grid, box)
-    acc32 = _accel_rows_long(
-        rho, grid, box, g_const, softening_squared, r_c
-    )
+    acc32 = _accel_rows_long(rho, grid, box, g_const, r_c)
     a_far = pm._interp(acc32, position, grid, box)
-    a_near, overflow = near_field_correction(
-        position, box, g_const, softening_squared, r_c, gn, capacity
-    )
+    if near_mode == "tree":
+        from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
+
+        a_near, overflow = near_field_tree(
+            position, box, g_const, softening_squared, r_c, gn,
+            pair_budget=pair_budget,
+        )
+    elif near_mode == "slots":
+        a_near, overflow = near_field_correction(
+            position, box, g_const, softening_squared, r_c, gn, capacity
+        )
+    else:
+        raise ValueError(f"unknown near_mode {near_mode!r}")
     return a_far + a_near, overflow
 
 
@@ -352,14 +390,19 @@ def make_accel_fn(
     box: float = 2048.0,
     cutoff_cells: float = 6.75,
     capacity: int = 64,
+    near_mode: str = "slots",
 ):
     """Adapter matching the integrator's accel_fn signature."""
+    if near_mode == "auto":
+        near_mode = "slots"  # data-free default; app.py probes the initial
+        # state with host_overflow_count and picks "tree" when slots overflow
 
     def accel_fn(position: jax.Array) -> jax.Array:
         return p3m_accel(
             position, grid=grid, box=box, g_const=mass,
             softening_squared=softening_squared,
             cutoff_cells=cutoff_cells, capacity=capacity,
+            near_mode=near_mode,
         )
 
     return accel_fn

@@ -1,0 +1,209 @@
+"""Block-sparse exact near field: the tree-structured P³M near mode.
+
+The static-K cell-list sweep (`ops/p3m.py:near_field_correction`) pads
+EVERY cell to one capacity, so a scene with extreme density contrast (the
+demo's two-cluster shell init packs thousands of particles into single
+near cells — 97% overflow at 65K with any practical K) either loses the
+near correction exactly where it matters or pays gn³·27·K² padded work.
+This module is the hierarchical fix (VERDICT r2 #2), built TPU-first —
+sorts and gathers, no scatters, no data-dependent shapes:
+
+1. ONE Morton sort of the particles. Blocks of B consecutive
+   Morton-sorted particles are compact, octree-aligned spatial nodes —
+   the "tree" is implicit in the code order.
+2. Per-block cell-space AABBs via masked segment min/max (node bounds).
+3. The dual-tree walk, flattened: an [NB, NB] bbox-adjacency test, then
+   ONE stable sort compacts the true entries into an i-major block-pair
+   list under a static budget (dropped pairs are counted, never silent).
+4. Direct interactions: a chunked B×B pairwise sweep over the listed
+   pairs (sources on lanes, targets on sublanes — the `ops/p3m.py`
+   layout lesson), accumulated per target block by a sorted segment sum
+   and un-sorted back to particle order with one payload sort.
+
+Work scales with the scene's ACTUAL near-pair count — dense cores simply
+contribute more block pairs — never with a global max cell capacity.
+
+Pair-set contract: every pair with |cell Δ|∞ ≤ 1 (the 27-neighborhood of
+the slot sweep) is included; bbox adjacency may ADD farther pairs whose
+short-range factor has already decayed to ≤1.4e-4 of exact, so the
+result is equal to or strictly closer to the exact force than the slot
+sweep on any scene (`tests/test_treeforce.py` pins both properties).
+
+Reference lineage: subsumes the exactness of the reference's
+bodyBodyInteraction O(N²) sum (`nBodyGravityCS.hlsl:44-57`) at
+sub-quadratic cost on ANY particle distribution — the reference's only
+exact mode cannot be beaten on generality, so this matches it where the
+slot sweep could not (the demo init) while keeping the mesh's O(N) far
+field.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multi_adapter_particles_tpu.ops.p3m import (
+    _SIGMA_PER_CUTOFF,
+    _short_factor,
+)
+
+_PARK = jnp.float32(1.0e9)
+
+
+def _morton(ib, bits: int):
+    """[3, N] int cell coords in [0, 2^bits) -> interleaved Morton code.
+
+    3*bits <= 30 keeps the code (plus the sentinel above it) in int32."""
+    code = jnp.zeros_like(ib[0])
+    for b in range(bits):
+        for c in range(3):
+            code = code | (((ib[c] >> b) & 1) << (3 * b + c))
+    return code
+
+
+def default_pair_budget(num_blocks: int) -> int:
+    """Static block-pair budget: generous for uniform scenes (a block has
+    ~27-60 bbox neighbors), with headroom for clustered ones; always at
+    least the full matrix for tiny inputs."""
+    return int(min(num_blocks * num_blocks, max(4096, 64 * num_blocks)))
+
+
+def near_field_tree(
+    position: jax.Array,   # [4, N]
+    box: float,
+    g_const: float,
+    eps2: float,
+    r_c: float,
+    near_grid: int,
+    block: int = 256,
+    pair_budget: int | None = None,
+    pair_chunk: int = 64,
+):
+    """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
+
+    Same force split as `p3m.near_field_correction` (accel = g_const *
+    s_short(r) * r_vec summed over near pairs); `near_grid` cells must be
+    >= r_c wide so bbox adjacency covers the cutoff. `dropped_pairs`
+    counts block pairs beyond `pair_budget` (0 = nothing truncated).
+    """
+    n = position.shape[1]
+    gn = near_grid
+    hn = box / gn
+    sigma = r_c * _SIGMA_PER_CUTOFF
+    bits = max((gn - 1).bit_length(), 1)
+    if 3 * bits + 1 > 31:
+        raise ValueError(f"near grid {gn} overflows the int32 Morton code")
+
+    u = position[:3] / jnp.float32(hn) + jnp.float32(gn / 2)
+    ib = jnp.floor(u).astype(jnp.int32)
+    inbox = jnp.all((ib >= 0) & (ib <= gn - 1), axis=0)
+    code = _morton(jnp.clip(ib, 0, gn - 1), bits)
+    sentinel = jnp.int32(1 << (3 * bits))
+    code = jnp.where(inbox, code, sentinel)  # out-of-box: no near force
+    pid = jnp.arange(n, dtype=jnp.int32)
+    scode, sx, sy, sz, spid = jax.lax.sort(
+        (code, position[0], position[1], position[2], pid),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+
+    nb = -(-n // block)
+    npad = nb * block - n
+    if npad:
+        scode = jnp.concatenate(
+            [scode, jnp.full((npad,), sentinel, jnp.int32)]
+        )
+        sx = jnp.concatenate([sx, jnp.full((npad,), _PARK)])
+        sy = jnp.concatenate([sy, jnp.full((npad,), _PARK)])
+        sz = jnp.concatenate([sz, jnp.full((npad,), _PARK)])
+        spid = jnp.concatenate(
+            [spid, jnp.arange(n, n + npad, dtype=jnp.int32)]
+        )
+
+    # Park out-of-box particles (sentinel code): the no-near-force contract
+    # of the slot sweep — they must neither feel nor exert short-range
+    # force even when they share a boundary block with live particles.
+    live_flat = scode < sentinel
+    sx = jnp.where(live_flat, sx, _PARK)
+    sy = jnp.where(live_flat, sy, _PARK)
+    sz = jnp.where(live_flat, sz, _PARK)
+
+    # -- node AABBs (cell coords, live-masked) --------------------------------
+    live = live_flat.reshape(nb, block)
+    any_live = jnp.any(live, axis=1)
+    cmin, cmax = [], []
+    for s in (sx, sy, sz):
+        c = jnp.floor(s / jnp.float32(hn) + jnp.float32(gn / 2))
+        c = jnp.clip(c, 0, gn - 1).astype(jnp.int32).reshape(nb, block)
+        cmin.append(jnp.min(jnp.where(live, c, gn + 2), axis=1))
+        cmax.append(jnp.max(jnp.where(live, c, -2), axis=1))
+
+    # -- dual-tree walk, flattened: bbox adjacency -> compacted pair list ----
+    m = any_live[:, None] & any_live[None, :]
+    for c in range(3):
+        m = (
+            m
+            & (cmin[c][None, :] <= cmax[c][:, None] + 1)
+            & (cmax[c][None, :] >= cmin[c][:, None] - 1)
+        )
+    flat = m.reshape(nb * nb)
+    total = jnp.sum(flat.astype(jnp.int32))
+    p_max = pair_budget or default_pair_budget(nb)
+    p_max = int(min(p_max, nb * nb))
+    pc = int(min(pair_chunk, p_max))
+    p_max = max(pc, (p_max // pc) * pc)  # pc | p_max and p_max <= nb*nb
+
+    inv = (~flat).astype(jnp.int32)
+    idx = jnp.arange(nb * nb, dtype=jnp.int32)
+    skey, sidx = jax.lax.sort((inv, idx), dimension=0, num_keys=1,
+                              is_stable=True)
+    sidx = sidx[:p_max]                       # i-major (stable sort on iota)
+    valid = (skey[:p_max] == 0).astype(jnp.float32)
+    i_idx = sidx // nb
+    j_idx = sidx % nb
+    dropped = jnp.maximum(total - p_max, 0)
+
+    # -- direct interactions: chunked BxB sweep over listed pairs ------------
+    bx = sx.reshape(nb, block)
+    by = sy.reshape(nb, block)
+    bz = sz.reshape(nb, block)
+    n_chunks = p_max // pc
+
+    def chunk_body(args):
+        ii, jj, vv = args                       # each [pc]
+        xi, yi, zi = bx[ii], by[ii], bz[ii]     # [pc, B] wide-row gathers
+        xj, yj, zj = bx[jj], by[jj], bz[jj]
+        dxv = xj[:, None, :] - xi[:, :, None]   # [pc, B, B] sources on lanes
+        dyv = yj[:, None, :] - yi[:, :, None]
+        dzv = zj[:, None, :] - zi[:, :, None]
+        d2 = dxv * dxv + dyv * dyv + dzv * dzv
+        s = _short_factor(d2, eps2, sigma) * vv[:, None, None]
+        return jnp.stack(
+            [
+                jnp.sum(s * dxv, axis=-1),
+                jnp.sum(s * dyv, axis=-1),
+                jnp.sum(s * dzv, axis=-1),
+            ],
+            axis=-1,
+        )                                       # [pc, B, 3]
+
+    pair_f = jax.lax.map(
+        chunk_body,
+        (
+            i_idx.reshape(n_chunks, pc),
+            j_idx.reshape(n_chunks, pc),
+            valid.reshape(n_chunks, pc),
+        ),
+    ).reshape(p_max, block * 3)
+
+    # i-major pair list -> per-target-block sums (sorted segment sum)
+    acc_b = jax.ops.segment_sum(
+        pair_f, i_idx, num_segments=nb, indices_are_sorted=True
+    ).reshape(nb * block, 3)
+
+    # -- un-sort to particle order (payload sort, not a scatter) -------------
+    _, fx, fy, fz = jax.lax.sort(
+        (spid, acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+    scale = jnp.float32(g_const)
+    return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, dropped

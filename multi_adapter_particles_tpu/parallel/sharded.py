@@ -215,16 +215,23 @@ def make_sharded_step(
         rho = jax.lax.psum(rho, AXIS)
         if multislice:
             rho = jax.lax.psum(rho, OUTER_AXIS)
-        acc32 = p3m._accel_rows_long(
-            rho, grid, box, g_const, cfg.softening_squared, r_c
-        )
+        acc32 = p3m._accel_rows_long(rho, grid, box, g_const, r_c)
         a_far = pm._interp(acc32, position, grid, box)
 
         full = gathered_sources(position)
-        a_near_full, _overflow = p3m.near_field_correction(
-            full, box, g_const, cfg.softening_squared, r_c, gn,
-            cfg.p3m_capacity,
-        )
+        if cfg.p3m_near_mode == "tree":
+            from multi_adapter_particles_tpu.ops.treeforce import (
+                near_field_tree,
+            )
+
+            a_near_full, _overflow = near_field_tree(
+                full, box, g_const, cfg.softening_squared, r_c, gn
+            )
+        else:  # "slots" / "auto" (the data-free default)
+            a_near_full, _overflow = p3m.near_field_correction(
+                full, box, g_const, cfg.softening_squared, r_c, gn,
+                cfg.p3m_capacity,
+            )
         n_loc = position.shape[1]
         shard = jax.lax.axis_index(AXIS)
         if multislice:

@@ -250,12 +250,16 @@ def main() -> int:
     # pm and render before frame: the frame bench builds the whole app
     # (most compiles), so if a driver-side budget truncates the run the
     # cheaper regression gates land first
+    # frame loops warm longer: the transport-aware pacing bound ramps up
+    # over the first ~6-8 confirmation cycles (runtime/pacing.py), and the
+    # timed segment should measure the converged steady state
+    warm_frames = 12 if on_tpu else warm
     for name, fn in (
         ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
-        ("frame", lambda: _bench_frame(jax, n_frame, warm, timed)),
-        ("fused", lambda: _bench_fused(jax, n_frame, warm, timed)),
+        ("frame", lambda: _bench_frame(jax, n_frame, warm_frames, timed)),
+        ("fused", lambda: _bench_fused(jax, n_frame, warm_frames, timed)),
     ):
         try:
             extra.append(fn())

@@ -1,19 +1,16 @@
-"""Stage-cost attribution for the tile-binned splat renderer.
+"""Stage-cost attribution for the tile-binned splat renderer (round-3
+pipeline: 4-operand sort with q15 footprint-normalized centers).
 
-Builds truncated variants of render/_render (project -> bin/key -> sort ->
-row/mask build -> composite -> combine/assembly); XLA dead-code-eliminates
-everything after the cut, so successive differences attribute wall time per
-stage. Mirrors the structure of `render/renderer.py:_render` — keep in sync
-when that changes (profiling snapshot, not production code).
+Builds truncated variants of render/_render (project -> bin/key+pack ->
+sort -> rowbuild/gather -> composite -> combine/assembly); XLA
+dead-code-eliminates everything after the cut, so successive differences
+attribute wall time per stage. Mirrors `render/renderer.py:_render` —
+keep in sync when that changes (profiling snapshot, not production code).
 
-STALE as of the 4-payload-sort rework (commit "Renderer 1.9x"): this
-mirror still profiles the 9-operand-sort pipeline. Post-rework @262K
-1024² the production renderer measures 19-21 ms total; the remaining
-split is ~9 ms stable 4-op sort (the floor — keys are 11-bit tile ids
-but the TPU reorder primitive is the comparator sort), ~4 ms
-project/bin/expand, ~5 ms composite, ~2 ms combine/assembly.
+Round-2 numbers (5-operand sort, @262K 1024²): sort ~9, project/bin ~4,
+composite ~5, combine/assembly ~2 (total 19-21 ms).
 
-Run on the real chip:  python experiments/render_profile.py [N]
+Run on the real chip:  python experiments/render_profile.py [N] [W] [H]
 """
 
 import functools
@@ -26,32 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from multi_adapter_particles_tpu.render.renderer import (
-    TILE_H, TILE_W, _colors, _project,
-)
+from multi_adapter_particles_tpu.render import renderer as R
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "seg_q", "dup_y", "dup_x", "near",
-                     "use_pallas_composite", "stage"),
+                     "stage"),
 )
 def _render_upto(
     position, wvp, p00, p11, radius, intensity, num_draw,
-    *, width, height, seg_q, dup_y, dup_x, near,
-    use_pallas_composite, stage,
+    *, width, height, seg_q, dup_y, dup_x, near, stage,
 ):
+    """Truncated copy of renderer._render (Pallas composite path)."""
     n = position.shape[1]
-    gh, gw = height // TILE_H, width // TILE_W
+    gh, gw = height // R.TILE_H, width // R.TILE_W
     num_tiles = gh * gw
     dup = dup_y * dup_x
 
-    cx, cy, hx, hy, w_clip = _project(
+    cx, cy, hx, hy, w_clip = R._project(
         position, wvp, p00, p11, float(width), float(height), radius
     )
-    cr, cg, cb = _colors(position, n)
+    cr, cg, cb = R._colors(position, n)
     if stage == "project":
-        return cx.sum() + cy.sum() + hx.sum() + hy.sum() + cr.sum() + cg.sum()
+        return cx.sum() + cy.sum() + hx.sum() + hy.sum() + cg.sum()
 
     ids = jnp.arange(n, dtype=jnp.int32)
     alive = (ids < num_draw) & (w_clip > jnp.float32(near))
@@ -64,10 +59,10 @@ def _render_upto(
     py0 = jnp.maximum(jnp.ceil(y0 - 0.5), 0.0).astype(jnp.int32)
     py1 = jnp.minimum(jnp.ceil(y1 - 0.5), height).astype(jnp.int32)
     nonempty = (px0 < px1) & (py0 < py1) & alive
-    tx0 = px0 // TILE_W
-    tx1 = (px1 - 1) // TILE_W
-    ty0 = py0 // TILE_H
-    ty1 = (py1 - 1) // TILE_H
+    tx0 = px0 // R.TILE_W
+    tx1 = (px1 - 1) // R.TILE_W
+    ty0 = py0 // R.TILE_H
+    ty1 = (py1 - 1) // R.TILE_H
     dys = jnp.arange(dup_y, dtype=jnp.int32)
     dxs = jnp.arange(dup_x, dtype=jnp.int32)
     ty = ty0[:, None, None] + dys[None, :, None]
@@ -77,43 +72,58 @@ def _render_upto(
         & (ty <= ty1[:, None, None])
         & (tx <= tx1[:, None, None])
     )
-    key = jnp.where(ok, ty * gw + tx, num_tiles)
-    key = key.reshape(n * dup)
-    inv2hx = jnp.nan_to_num(1.0 / (2.0 * hx), nan=0.0, posinf=0.0, neginf=0.0)
-    inv2hy = jnp.nan_to_num(1.0 / (2.0 * hy), nan=0.0, posinf=0.0, neginf=0.0)
+    key = jnp.where(ok, ty * gw + tx, num_tiles).reshape(n * dup)
     cx = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
     cy = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
-    if stage == "bin":
-        return key.sum() + inv2hx.sum() + inv2hy.sum()
+
+    def q15(v):
+        v = jnp.clip(jnp.nan_to_num(v, nan=0.0, posinf=1.0, neginf=-1.0),
+                     -1.0, 1.0)
+        return (
+            jnp.round(v * 32767.0).astype(jnp.int16)
+            .view(jnp.uint16).astype(jnp.uint32)
+        )
+
+    den_x = jnp.abs(jnp.nan_to_num(hx, posinf=jnp.inf)) + jnp.float32(R.TILE_W)
+    den_y = jnp.abs(jnp.nan_to_num(hy, posinf=jnp.inf)) + jnp.float32(R.TILE_H)
+    rnx = (cx[:, None, None] - (tx * R.TILE_W).astype(jnp.float32)) / (
+        den_x[:, None, None]
+    )
+    rny = (cy[:, None, None] - (ty * R.TILE_H).astype(jnp.float32)) / (
+        den_y[:, None, None]
+    )
+    relxy = (
+        jnp.left_shift(q15(jnp.broadcast_to(rnx, (n, dup_y, dup_x))), 16)
+        | q15(jnp.broadcast_to(rny, (n, dup_y, dup_x)))
+    ).view(jnp.float32).reshape(n * dup)
+    cgb = (
+        jnp.left_shift(
+            jnp.clip(cg, 0.0, 6.0e4).astype(jnp.float16).view(jnp.uint16)
+            .astype(jnp.uint32), 16
+        )
+        | cb.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+    ).view(jnp.float32)
 
     def expand(a):
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
-    (sorted_key, s_cx, s_cy, s_ihx, s_ihy, s_cr, s_cg, s_cb) = jax.lax.sort(
-        (
-            key, expand(cx), expand(cy), expand(inv2hx), expand(inv2hy),
-            expand(cr), expand(cg), expand(cb),
-        ),
+    if stage == "bin":
+        return key.sum() + relxy.view(jnp.uint32).sum() + cgb.sum()
+
+    (sorted_key, s_relxy, s_w, s_cgb) = jax.lax.sort(
+        (key, relxy, expand(w_clip), expand(cgb)),
         dimension=0, num_keys=1, is_stable=True,
     )
     if stage == "sort":
-        return sorted_key.sum() + s_cx.sum() + s_cr.sum() + s_ihy.sum()
+        return (sorted_key.sum() + s_relxy.view(jnp.uint32).sum()
+                + s_w.sum() + s_cgb.view(jnp.uint32).sum())
 
     starts = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     )
     counts = starts[1:] - starts[:-1]
-    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
-    base_x = (tidx % gw) * TILE_W
-    base_y = (tidx // gw) * TILE_H
-    ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pxc = (base_x[:, None, None] + lx[None]).astype(jnp.float32) + 0.5
-    pyc = (base_y[:, None, None] + ly[None]).astype(jnp.float32) + 0.5
-    pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
-    pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
-    px_count = TILE_H * TILE_W
+    px_count = R.TILE_H * R.TILE_W
     e_total = n * dup
     q = seg_q
     data_rows = -(-e_total // q)
@@ -138,42 +148,56 @@ def _render_upto(
     hi_k = jnp.where(valid_v & (counts[tile_vc] > 0), hi_k, 0)
 
     kk = jnp.arange(q, dtype=jnp.int32)
-    valid_k = (kk[None, :] >= lo_k[:, None]) & (kk[None, :] < hi_k[:, None])
-    sa = jnp.where(valid_k, intensity, 0.0)
+    valid_k = (kk[:, None] >= lo_k[None, :]) & (kk[:, None] < hi_k[None, :])
+    t_sa = jnp.where(valid_k, intensity, 0.0)
 
-    def rows(a):
+    def _rows(a):
         if e_pad:
             a = jnp.concatenate([a, jnp.zeros((e_pad,), a.dtype)])
-        return a.reshape(data_rows, q)[j_v]
+        return a.reshape(data_rows, q)
 
-    sp = jnp.stack(
-        [rows(s_cx), rows(s_cy), rows(s_ihx), rows(s_ihy),
-         rows(s_cr), rows(s_cg), rows(s_cb), sa],
-        axis=0,
+    cat = jnp.concatenate(
+        [_rows(s_relxy), _rows(s_w), _rows(s_cgb)], axis=1
     )
+    spt = cat[j_v].T.reshape(3, q, num_rows)
+
+    inv_sx = 1.0 / (radius * p00 * jnp.float32(width))
+    inv_sy = 1.0 / (radius * p11 * jnp.float32(height))
+    t_rel = spt[0].view(jnp.uint32)
+    inv_q15 = jnp.float32(1.0 / 32767.0)
+    t_rnx = (
+        jnp.right_shift(t_rel, 16).astype(jnp.uint16)
+        .view(jnp.int16).astype(jnp.float32) * inv_q15
+    )
+    t_rny = (
+        (t_rel & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        .view(jnp.int16).astype(jnp.float32) * inv_q15
+    )
+    t_w = spt[1]
+    t_ihx = jnp.nan_to_num(t_w * inv_sx, nan=0.0, posinf=0.0, neginf=0.0)
+    t_ihy = jnp.nan_to_num(t_w * inv_sy, nan=0.0, posinf=0.0, neginf=0.0)
+    t_u = spt[2].view(jnp.uint32)
+    t_cb = (
+        (t_u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        .view(jnp.float16).astype(jnp.float32)
+    )
+    t_cg = (
+        jnp.right_shift(t_u, 16).astype(jnp.uint16)
+        .view(jnp.float16).astype(jnp.float32)
+    )
+    t_cr = 1.0 - t_cb
+    xs = (t_rnx, t_rny, t_ihx, t_ihy, t_cr, t_cg, t_cb, t_sa)
     if stage == "rowbuild":
-        return sp.sum()
+        return sum(x.sum() for x in xs)
 
-    if use_pallas_composite:
-        from multi_adapter_particles_tpu.ops.composite import (
-            composite_rows_pallas,
-        )
+    from multi_adapter_particles_tpu.ops.composite import composite_rows_pallas
 
-        bases = jnp.stack(
-            [
-                (base_x[tile_vc]).astype(jnp.float32),
-                (base_y[tile_vc]).astype(jnp.float32),
-            ]
-        )
-        out4 = composite_rows_pallas(
-            sp.transpose(0, 2, 1), bases, TILE_H, TILE_W, blend="over"
-        )
-        cr_v = out4[0].T
-        cg_v = out4[1].T
-        cb_v = out4[2].T
-        tv = out4[3].T
-    else:
-        raise NotImplementedError("profile targets the TPU pallas path")
+    out4 = composite_rows_pallas(jnp.stack(xs), R.TILE_H, R.TILE_W,
+                                 blend="over")
+    cr_v = out4[0].T
+    cg_v = out4[1].T
+    cb_v = out4[2].T
+    tv = out4[3].T
     if stage == "composite":
         return cr_v.sum() + cg_v.sum() + cb_v.sum() + tv.sum()
 
@@ -197,7 +221,7 @@ def _render_upto(
 
     frame_t = jnp.stack([c[row_start] for c in chans], axis=1)
     frame_t = jnp.clip(frame_t, 0.0, 1.0)
-    frame = frame_t.reshape(gh, gw, 3, TILE_H, TILE_W)
+    frame = frame_t.reshape(gh, gw, 3, R.TILE_H, R.TILE_W)
     frame = frame.transpose(0, 3, 1, 4, 2).reshape(height, width, 3)
     return frame.sum()
 
@@ -212,7 +236,9 @@ def main() -> int:
     from multi_adapter_particles_tpu.render.renderer import Renderer
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
-    cfg = RenderConfig(width=1024, height=1024)
+    w = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    h = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    cfg = RenderConfig(width=w, height=h)
     r = Renderer(cfg)
     camera = Camera(position=cfg.camera_position)
     state = pinit.initialize_particles_device(n, seed=42)
@@ -222,7 +248,8 @@ def main() -> int:
                                      near=cfg.near, far=cfg.far)
     )
     q = r.resolve_seg_q(state.padded_count)
-    print(f"backend={jax.default_backend()} n={n} seg_q={q}", flush=True)
+    print(f"backend={jax.default_backend()} n={n} {w}x{h} seg_q={q}",
+          flush=True)
 
     args = (
         state.position, wvp,
@@ -230,11 +257,8 @@ def main() -> int:
         jnp.float32(2.5), jnp.float32(0.15),
         jnp.int32(state.padded_count),
     )
-    kw = dict(
-        width=cfg.width, height=cfg.height, seg_q=q,
-        dup_y=r.dup_y, dup_x=r.dup_x, near=cfg.near,
-        use_pallas_composite=True,
-    )
+    kw = dict(width=w, height=h, seg_q=q, dup_y=r.dup_y, dup_x=r.dup_x,
+              near=cfg.near)
     reps = 20
     prev = 0.0
     for stage in STAGES:
@@ -248,6 +272,18 @@ def main() -> int:
         print(f"{stage:>10}: {ms:7.2f} ms cumulative  (+{ms - prev:6.2f})",
               flush=True)
         prev = ms
+
+    # seg_q sweep on the full pipeline
+    for qq in (32, 64, 128, 256):
+        out = _render_upto(*args, stage="full",
+                           **{**kw, "seg_q": qq})
+        float(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = _render_upto(*args, stage="full", **{**kw, "seg_q": qq})
+        float(out)
+        ms = (time.perf_counter() - t0) * 1000.0 / reps
+        print(f"full @ seg_q={qq:<4}: {ms:7.2f} ms", flush=True)
     return 0
 
 

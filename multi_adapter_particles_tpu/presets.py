@@ -50,16 +50,14 @@ PRESETS = {
             "interaction_scale": 1.0 / 16_777_216,
         },
     },
-    # 64k P3M self-gravity: exact-at-all-separations WHERE the near-cell
-    # capacity covers the local density. NOTE the demo's two-cluster init
-    # concentrates most particles into a few near cells (max ~7.5k/cell at
-    # this config — far beyond any static capacity), so the startup
-    # overflow report will show the cores falling back to the smooth
-    # LONG-RANGE mesh force (worse than pure pm_grid at small
-    # separations — prefer pm_grid for this scene); the halo and
-    # inter-cluster field get the exact correction. On moderate-density
-    # distributions (see examples/p3m_accuracy.py's halo scene) the same
-    # config is <0.1% RMS with overflow 0.
+    # 64k P3M self-gravity: exact at all separations on ANY scene. The
+    # demo's two-cluster init concentrates most particles into a few near
+    # cells (max ~7.5k/cell at this config — far beyond any static slot
+    # capacity), so the startup probe auto-selects the Morton-block
+    # dual-tree near field (ops/treeforce.py) whose work scales with the
+    # actual near-pair count; uniform-to-moderate scenes keep the faster
+    # static-slot 27-cell sweep (<0.1% RMS, overflow 0 — see
+    # examples/p3m_accuracy.py's halo scene).
     "64k-p3m": {
         "app": {"num_particles": 65_536, "gui": False, "vsync": False},
         "extra": {

@@ -367,10 +367,14 @@ class TestBitStableTrajectories:
 
 
 class TestBootstrap:
-    def test_two_process_cluster(self):
-        """Spawn a real 2-process jax.distributed CPU cluster: initialize,
-        build the global 4-device mesh, step the sharded engine, and check
-        the pod trajectory matches a local run bit-for-bit."""
+    @pytest.mark.parametrize("nprocs", [2, 4])
+    def test_multi_process_cluster(self, nprocs):
+        """Spawn a real nprocs-process jax.distributed CPU cluster (2
+        virtual devices each): initialize, build the global mesh, step the
+        sharded engine, and check the pod trajectory matches a local run
+        bit-for-bit. The 4-process shape also drives the distributed-FFT
+        PM slab pipeline (psum_scatter + both all_to_all transposes)
+        across 4 hosts — the pod-readiness gate of VERDICT r2 #9."""
         import socket
         import subprocess
         import sys as _sys
@@ -388,11 +392,11 @@ class TestBootstrap:
         }
         procs = [
             subprocess.Popen(
-                [_sys.executable, worker, str(port), str(pid), "2"],
+                [_sys.executable, worker, str(port), str(pid), str(nprocs)],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True, env=env,
             )
-            for pid in range(2)
+            for pid in range(nprocs)
         ]
         outs = []
         try:

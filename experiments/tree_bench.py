@@ -60,12 +60,19 @@ def main():
     a_ex = np.asarray(a_exact)
     scale = np.abs(a_ex).max()
 
+    from multi_adapter_particles_tpu.ops.treeforce import host_pair_budget
+
+    pos_host = np.asarray(pos)
     for grid in (64, 128):
-        for mode in ("tree",):
+        try:
+            r_c = 6.75 * 2048.0 / grid
+            gn = max(int(2048.0 // r_c), 1)
+            budget = host_pair_budget(pos_host, 2048.0, r_c, gn)
             t0 = time.perf_counter()
             acc, dropped = p3m.p3m_accel_with_overflow(
                 pos, grid=grid, box=2048.0, g_const=70000.0,
-                softening_squared=25.0, near_mode=mode,
+                softening_squared=25.0, near_mode="tree",
+                pair_budget=budget,
             )
             sync(acc)
             compile_s = time.perf_counter() - t0
@@ -73,19 +80,23 @@ def main():
             for _ in range(5):
                 acc, dropped = p3m.p3m_accel_with_overflow(
                     pos, grid=grid, box=2048.0, g_const=70000.0,
-                    softening_squared=25.0, near_mode=mode,
+                    softening_squared=25.0, near_mode="tree",
+                    pair_budget=budget,
                 )
             sync(acc)
             ms = (time.perf_counter() - t0) * 1000.0 / 5
             a = np.asarray(acc)
             rms = float(np.sqrt(np.mean((a - a_ex) ** 2)) / scale)
             print(
-                f"p3m {mode} G={grid}: {ms:.1f} ms/accel "
-                f"(compile {compile_s:.0f}s), rms_vs_exact={rms:.5f}, "
-                f"dropped_pairs={int(dropped)}, "
+                f"p3m tree G={grid}: {ms:.1f} ms/accel "
+                f"(compile {compile_s:.0f}s, budget {budget}), "
+                f"rms_vs_exact={rms:.5f}, dropped_pairs={int(dropped)}, "
                 f"speedup_vs_exact={exact_ms/ms:.1f}x",
                 flush=True,
             )
+        except Exception as ex:  # noqa: BLE001 — keep the sweep going
+            print(f"p3m tree G={grid}: FAILED {type(ex).__name__}: {ex}",
+                  flush=True)
 
     # pm_grid context
     from multi_adapter_particles_tpu.ops import pm

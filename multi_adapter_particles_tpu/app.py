@@ -77,6 +77,10 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               "initial state and picks tree when the slot capacity would "
               "overflow — e.g. the demo's cluster cores)",
               lambda v: extra.__setitem__("p3m_near_mode", v))
+    p.add_int("p3mbudget",
+              "tree near-field block-pair budget (default: sized from the "
+              "initial state)",
+              lambda v: extra.__setitem__("p3m_pair_budget", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_int("computeadapter", "compute adapter index",
@@ -157,33 +161,47 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     near_mode = extra.get("p3m_near_mode", "auto")
-    if extra.get("force") == "p3m" and near_mode == "auto":
+    pair_budget = extra.get("p3m_pair_budget")
+    if extra.get("force") == "p3m" and (
+        near_mode == "auto" or (near_mode == "tree" and pair_budget is None)
+    ):
         # Probe the initial state host-side: if the slot sweep's capacity
         # would overflow (the demo's cluster cores), run the tree near
-        # field instead — exact on any density contrast (ops/treeforce.py).
+        # field instead — exact on any density contrast (ops/treeforce.py)
+        # — and size its block-pair budget from the actual scene.
         from multi_adapter_particles_tpu.models import init as pinit
         from multi_adapter_particles_tpu.ops.p3m import host_overflow_count
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            host_pair_budget,
+        )
 
-        pos0, _ = pinit.initialize_particles_host(
+        grid = extra.get("pm_grid_size", SimConfig.pm_grid_size)
+        box = extra.get("pm_box", SimConfig.pm_box)
+        cutoff = extra.get("p3m_cutoff_cells", SimConfig.p3m_cutoff_cells)
+        pos0 = pinit.initialize_particles_host(
             app_cfg.num_particles, seed=extra.get("seed", 0)
-        )
-        ov = host_overflow_count(
-            pos0.T,
-            extra.get("pm_grid_size", SimConfig.pm_grid_size),
-            extra.get("pm_box", SimConfig.pm_box),
-            extra.get("p3m_cutoff_cells", SimConfig.p3m_cutoff_cells),
-            extra.get("p3m_capacity", SimConfig.p3m_capacity),
-        )
-        near_mode = "tree" if ov else "slots"
-        print(
-            f"p3m: near-field auto probe -> {near_mode}"
-            + (
-                f" ({ov} particles would overflow the slot capacity)"
-                if ov
-                else " (slot capacity covers the scene)"
-            ),
-            flush=True,
-        )
+        ).position  # [4, Np]; padding parked at 1e9 = out-of-box, ignored
+        if near_mode == "auto":
+            ov = host_overflow_count(
+                pos0, grid, box, cutoff,
+                extra.get("p3m_capacity", SimConfig.p3m_capacity),
+            )
+            near_mode = "tree" if ov else "slots"
+            print(
+                f"p3m: near-field auto probe -> {near_mode}"
+                + (
+                    f" ({ov} particles would overflow the slot capacity)"
+                    if ov
+                    else " (slot capacity covers the scene)"
+                ),
+                flush=True,
+            )
+        if near_mode == "tree" and pair_budget is None:
+            r_c = cutoff * box / grid
+            gn = max(int(box // r_c), 1)
+            pair_budget = host_pair_budget(pos0, box, r_c, gn)
+            print(f"p3m: tree pair budget sized to {pair_budget} "
+                  "(from the initial state)", flush=True)
 
     sim_cfg = SimConfig(
         num_particles=app_cfg.num_particles,
@@ -199,6 +217,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         ),
         p3m_capacity=extra.get("p3m_capacity", SimConfig.p3m_capacity),
         p3m_near_mode=near_mode,
+        p3m_pair_budget=pair_budget,
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),

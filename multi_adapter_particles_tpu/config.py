@@ -63,6 +63,10 @@ class SimConfig:
     # density contrast; "auto" = slots unless the CLI's startup overflow
     # probe finds the scene overflowing (then tree).
     p3m_near_mode: str = "auto"
+    # Tree mode's static block-pair budget (None = density-free default;
+    # the CLI sizes it from the scene via treeforce.host_pair_budget —
+    # dropped pairs are counted, never silent).
+    p3m_pair_budget: Optional[int] = None
     # Mesh runs: solve the PM field with the slab-decomposed distributed
     # FFT (parallel/dist_fft.py) instead of redundant per-device solves.
     # Worth it for G >= 256 (the doubled spectrum alone is 540 MB); needs

@@ -183,6 +183,7 @@ def make_step(
                 cutoff_cells=config.p3m_cutoff_cells,
                 capacity=config.p3m_capacity,
                 near_mode=config.p3m_near_mode,
+                pair_budget=config.p3m_pair_budget,
             )
         else:
             mask = None  # padding mask applied by caller via closure below

@@ -391,6 +391,7 @@ def make_accel_fn(
     cutoff_cells: float = 6.75,
     capacity: int = 64,
     near_mode: str = "slots",
+    pair_budget: int | None = None,
 ):
     """Adapter matching the integrator's accel_fn signature."""
     if near_mode == "auto":
@@ -402,7 +403,7 @@ def make_accel_fn(
             position, grid=grid, box=box, g_const=mass,
             softening_squared=softening_squared,
             cutoff_cells=cutoff_cells, capacity=capacity,
-            near_mode=near_mode,
+            near_mode=near_mode, pair_budget=pair_budget,
         )
 
     return accel_fn

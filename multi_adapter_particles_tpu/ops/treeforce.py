@@ -207,3 +207,53 @@ def near_field_tree(
     )
     scale = jnp.float32(g_const)
     return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, dropped
+
+
+def host_pair_budget(
+    position,              # array-like [4, N] (host or device)
+    box: float,
+    r_c: float,
+    near_grid: int,
+    block: int = 256,
+    headroom: float = 1.25,
+) -> int:
+    """NumPy replica of the block-pair count — cheap enough to run once
+    at startup so the CLI can size `pair_budget` from the ACTUAL scene
+    instead of the density-free default (the demo shell at G=64 needs
+    ~210 pairs/block where the default budgets 64; a truncated budget
+    silently costs accuracy, counted in `dropped_pairs`)."""
+    import numpy as np
+
+    gn = near_grid
+    hn = box / gn
+    pos = np.asarray(position)[:3]
+    n = pos.shape[1]
+    ib = np.floor(pos / hn + gn / 2).astype(np.int64)
+    inbox = ((ib >= 0) & (ib <= gn - 1)).all(axis=0)
+    bits = max(int(gn - 1).bit_length(), 1)
+    ibc = np.clip(ib, 0, gn - 1)
+    code = np.zeros(n, np.int64)
+    for b in range(bits):
+        for c in range(3):
+            code |= ((ibc[c] >> b) & 1) << (3 * b + c)
+    code[~inbox] = 1 << (3 * bits)
+    order = np.argsort(code, kind="stable")
+    sib = ibc[:, order]
+    live = inbox[order]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        sib = np.concatenate([sib, np.zeros((3, pad), np.int64)], axis=1)
+        live = np.concatenate([live, np.zeros(pad, bool)])
+    sib = sib.reshape(3, nb, block)
+    live = live.reshape(nb, block)
+    any_live = live.any(axis=1)
+    big = gn + 2
+    cmin = np.where(live[None], sib, big).min(axis=2)      # [3, nb]
+    cmax = np.where(live[None], sib, -2).max(axis=2)
+    m = any_live[:, None] & any_live[None, :]
+    for c in range(3):
+        m &= (cmin[c][None, :] <= cmax[c][:, None] + 1) & (
+            cmax[c][None, :] >= cmin[c][:, None] - 1
+        )
+    return int(m.sum() * headroom) + 1

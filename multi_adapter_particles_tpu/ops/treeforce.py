@@ -68,6 +68,16 @@ def default_pair_budget(num_blocks: int) -> int:
     return int(min(num_blocks * num_blocks, max(4096, 64 * num_blocks)))
 
 
+def default_block(n: int) -> int:
+    """Block size keeping the [NB, NB] adjacency matrix (and its
+    compaction sort) bounded: NB <= ~2048, so the dual-tree walk stays a
+    few-ms side cost from 64K to multi-million particles."""
+    b = 256
+    while -(-n // b) > 2048:
+        b *= 2
+    return b
+
+
 def near_field_tree(
     position: jax.Array,   # [4, N]
     box: float,
@@ -75,9 +85,9 @@ def near_field_tree(
     eps2: float,
     r_c: float,
     near_grid: int,
-    block: int = 256,
+    block: int | None = None,
     pair_budget: int | None = None,
-    pair_chunk: int = 64,
+    pair_chunk: int | None = None,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -85,8 +95,14 @@ def near_field_tree(
     s_short(r) * r_vec summed over near pairs); `near_grid` cells must be
     >= r_c wide so bbox adjacency covers the cutoff. `dropped_pairs`
     counts block pairs beyond `pair_budget` (0 = nothing truncated).
+    `block` None = adaptive (NB capped ~2048); `pair_chunk` None scales
+    inversely with block² so a sweep chunk stays ~100 MB.
     """
     n = position.shape[1]
+    if block is None:
+        block = default_block(n)
+    if pair_chunk is None:
+        pair_chunk = max(8, 64 * (256 * 256) // (block * block))
     gn = near_grid
     hn = box / gn
     sigma = r_c * _SIGMA_PER_CUTOFF
@@ -214,7 +230,7 @@ def host_pair_budget(
     box: float,
     r_c: float,
     near_grid: int,
-    block: int = 256,
+    block: int | None = None,
     headroom: float = 1.25,
 ) -> int:
     """NumPy replica of the block-pair count — cheap enough to run once
@@ -228,6 +244,8 @@ def host_pair_budget(
     hn = box / gn
     pos = np.asarray(position)[:3]
     n = pos.shape[1]
+    if block is None:
+        block = default_block(n)
     ib = np.floor(pos / hn + gn / 2).astype(np.int64)
     inbox = ((ib >= 0) & (ib <= gn - 1)).all(axis=0)
     bits = max(int(gn - 1).bit_length(), 1)

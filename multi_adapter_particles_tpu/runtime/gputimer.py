@@ -50,11 +50,16 @@ def parse_stage_ms(
     profile_data,
     stage_patterns: Dict[str, Tuple[str, ...]] = DEFAULT_STAGE_PATTERNS,
 ) -> Dict[str, float]:
-    """Per-frame stage milliseconds from a ProfileData xspace.
+    """Per-FRAME stage milliseconds from a ProfileData xspace.
 
     Walks every `XLA Modules` line of every device plane; for each stage,
-    sums the durations of modules whose name contains any pattern and
-    divides by the execution count (a module runs once per frame).
+    sums the durations of modules whose name contains any pattern. The
+    per-frame normalizer is the execution count of a once-per-frame
+    anchor stage (simulate, or the fused frame) when one is present —
+    a stage may legitimately dispatch SEVERAL modules per frame (the
+    chunked renderer issues one `_render` per chunk; dividing by its own
+    count under-reported a 16.8M render 4x) — falling back to the
+    stage's own count (render-only traces).
     """
     totals: Dict[str, float] = {}
     counts: Dict[str, int] = {}
@@ -72,11 +77,17 @@ def parse_stage_ms(
                         totals[stage] = totals.get(stage, 0.0) + dur_ns
                         counts[stage] = counts.get(stage, 0) + 1
                         break
-    return {
-        stage: (totals[stage] / counts[stage]) / 1e6
-        for stage in totals
-        if counts.get(stage)
-    }
+    frames = counts.get("simulate") or counts.get("frame")
+    out: Dict[str, float] = {}
+    for stage in totals:
+        c = counts.get(stage)
+        if not c:
+            continue
+        # per-frame dispatch multiplicity (1 for once-per-frame stages;
+        # the chunk count for chunked renders); window edges round away
+        k = max(1, round(c / frames)) if frames else 1
+        out[stage] = (totals[stage] / c * k) / 1e6
+    return out
 
 
 class ProfilerStageTimer:

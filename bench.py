@@ -250,16 +250,20 @@ def main() -> int:
     # pm and render before frame: the frame bench builds the whole app
     # (most compiles), so if a driver-side budget truncates the run the
     # cheaper regression gates land first
-    # frame loops warm longer: the transport-aware pacing bound ramps up
-    # over the first ~6-8 confirmation cycles (runtime/pacing.py), and the
-    # timed segment should measure the converged steady state
+    # frame loops warm longer and time longer: the transport-aware pacing
+    # bound ramps up over the first ~6-8 confirmation cycles
+    # (runtime/pacing.py), and a short timed segment pays the remaining
+    # ramp + pipeline-drain tail disproportionately
     warm_frames = 12 if on_tpu else warm
+    timed_frames = 30 if on_tpu else timed
     for name, fn in (
         ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
-        ("frame", lambda: _bench_frame(jax, n_frame, warm_frames, timed)),
-        ("fused", lambda: _bench_fused(jax, n_frame, warm_frames, timed)),
+        ("frame", lambda: _bench_frame(
+            jax, n_frame, warm_frames, timed_frames)),
+        ("fused", lambda: _bench_fused(
+            jax, n_frame, warm_frames, timed_frames)),
     ):
         try:
             extra.append(fn())

@@ -84,10 +84,16 @@ def _substage(vals, j: int, asc, r: int):
     i_lo = jnp.where(lower, i, ip)
     i_hi = jnp.where(lower, ip, i)
     # strict total order on (key, idx): equality is impossible, so the
-    # descending comparator is simply the negation
-    gt = (k_lo > k_hi) | ((k_lo == k_hi) & (i_lo > i_hi))
-    swap = jnp.where(asc, gt, ~gt)
-    return [jnp.where(swap, p, v) for v, p in zip(vals, parts)]
+    # descending comparator is simply the negation. Arithmetic 0/1 masks
+    # instead of boolean vectors: Mosaic on this toolchain rejects full-
+    # shape i8->i1 truncations (bool selects on [R, 128] operands).
+    gt = (
+        (k_lo > k_hi).astype(jnp.int32)
+        | ((k_lo == k_hi) & (i_lo > i_hi)).astype(jnp.int32)
+    )
+    asc_i = jnp.asarray(asc).astype(jnp.int32)
+    swap = asc_i * gt + (1 - asc_i) * (1 - gt)
+    return [jnp.where(swap > 0, p, v) for v, p in zip(vals, parts)]
 
 
 def _asc_mask(k: int, block: int, r: int, pid):

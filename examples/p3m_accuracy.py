@@ -8,10 +8,12 @@ Two scenes, because the near-field capacity story differs:
 - "clusters": the demo's two dense blobs. Core cells exceed any
   practical static capacity and the overflow count reports how many
   particles fell back to the smooth LONG-RANGE mesh force — which is
-  smoother than pure PM's kernel, so on overflow-dominated scenes p3m is
-  WORSE than pm_grid (measured on v5e @8192: p3m 13.1% vs pm 8.3% RMS;
-  on the covered halo scene p3m is 0.03% vs pm 5.2%). Use pm_grid when
-  the startup overflow report is large.
+  smoother than pure PM's kernel, so on overflow-dominated scenes the
+  SLOT sweep is WORSE than pm_grid (measured on v5e @8192: p3m 13.1% vs
+  pm 8.3% RMS; on the covered halo scene p3m is 0.03% vs pm 5.2%). The
+  round-3 TREE near field (near_mode="tree", ops/treeforce.py) restores
+  the <1% promise on such scenes — the CLI's `-p3mnear auto` probe picks
+  it automatically.
 
     python examples/p3m_accuracy.py            # real TPU
     JAX_PLATFORMS=cpu python examples/p3m_accuracy.py --quick
@@ -93,6 +95,12 @@ def main() -> int:
         report("p3m", lambda q: p3m.p3m_accel_with_overflow(
             q, grid=64, box=BOX, g_const=g_const, softening_squared=EPS2,
             capacity=cap))
+        # the round-3 tree near field: exact on BOTH scenes — on the
+        # overflowing clusters it replaces the slot sweep's degraded
+        # result with the <1% promise (overflow column = dropped pairs)
+        report("p3m-tree", lambda q: p3m.p3m_accel_with_overflow(
+            q, grid=64, box=BOX, g_const=g_const, softening_squared=EPS2,
+            near_mode="tree"))
     return 0
 
 

@@ -119,7 +119,13 @@ class FrameLatencyQueue:
                 seq, marker = self._pending[-1]
                 self._pending.clear()
             t0 = time.perf_counter()
-            sync(marker)
+            try:
+                sync(marker)
+            except Exception:  # noqa: BLE001 — a failed wait must not
+                # leave `drain()` spinning forever; count the batch as
+                # confirmed and let the error surface on the main
+                # thread's next real sync of the same stream
+                pass
             t1 = time.perf_counter()
             with self._cond:
                 self._confirmed = max(self._confirmed, seq)

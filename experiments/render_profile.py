@@ -1,14 +1,18 @@
-"""Stage-cost attribution for the tile-binned splat renderer (round-3
-pipeline: 4-operand sort with q15 footprint-normalized centers).
+"""Stage-cost attribution for the q15 / 4-operand-sort renderer VARIANT
+(round 3 — measured and REJECTED; production keeps the round-2 pipeline).
 
-Builds truncated variants of render/_render (project -> bin/key+pack ->
-sort -> rowbuild/gather -> composite -> combine/assembly); XLA
-dead-code-eliminates everything after the cut, so successive differences
-attribute wall time per stage. Mirrors `render/renderer.py:_render` —
-keep in sync when that changes (profiling snapshot, not production code).
+This mirror profiles the experimental pipeline: q15 footprint-normalized
+tile-local centers packing the sprite center into ONE sort lane (4 sort
+operands instead of 5), channel-blocked rowbuild, basis-free composite.
+In ISOLATION the pieces beat round 2 (sort -2 ms at 2^20, rowbuild -1.7,
+seg_q=128 -1.7 at 262K), but PRODUCTION A/B on the same chip/day showed
+the full variant NEUTRAL at 262K (19.83 vs 19.88 ms) and 13% SLOWER at
+1M (65.3 vs 56.7) — the q15 pack/unpack int chains and the per-step
+du-reconstruction multiplies eat the sort saving as E grows. Kept as the
+measurement artifact; render/renderer.py remains the round-2 structure.
 
-Round-2 numbers (5-operand sort, @262K 1024²): sort ~9, project/bin ~4,
-composite ~5, combine/assembly ~2 (total 19-21 ms).
+Stage rows measured @262K 1024² (this variant): front 2.2, sort 9.7,
+rowbuild 3.4, composite 3.7, combine 0.5 = 19.5; @1M: sort 39 of 61.
 
 Run on the real chip:  python experiments/render_profile.py [N] [W] [H]
 """

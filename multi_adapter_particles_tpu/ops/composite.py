@@ -11,8 +11,7 @@ Layout: pixel index on sublanes, virtual rows on lanes —
   against [px, VB] planes. Q is consumed in sublane-aligned groups of 8
   (dynamic second-minor slices must be 8-aligned on this toolchain).
 
-Channels: 0 rel_nx, 1 rel_ny (tile-local, footprint-normalized sprite
-centers), 2 1/(2hx), 3 1/(2hy), 4 r, 5 g, 6 b, 7 alpha-scale
+Channels: 0 cx, 1 cy, 2 1/(2hx), 3 1/(2hy), 4 r, 5 g, 6 b, 7 alpha-scale
 (zero for dead slots — blending a no-op). Output [4, px, V]: premultiplied
 r, g, b and transmittance, ready for the log-depth segment combine.
 
@@ -32,32 +31,30 @@ from jax.experimental.pallas import tpu as pltpu
 from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
 
 
-def _kernel(sp_ref, out_ref, *, q_len, tile_h, tile_w, blend):
+def _kernel(sp_ref, base_ref, out_ref, *, q_len, tile_h, tile_w, blend):
     vb = out_ref.shape[2]
     px = tile_h * tile_w
 
-    # sprite centers are TILE-LOCAL and footprint-NORMALIZED
-    # (render/renderer.py: rel_n = (cx - key_tile_origin)/(hx + TILE)),
-    # so pixel coordinates are one constant iota plane — no per-tile base
-    # input — and du = pxc*ihx - rel_n*(0.5 + TILE*ihx), multiplies only
     pix = jax.lax.broadcasted_iota(jnp.int32, (px, vb), 0)
-    pxc = (pix % tile_w).astype(jnp.float32) + 0.5   # [px, VB]
-    pyc = (pix // tile_w).astype(jnp.float32) + 0.5
+    x_in = (pix % tile_w).astype(jnp.float32)
+    y_in = (pix // tile_w).astype(jnp.float32)
+    pxc = base_ref[0:1, :] + x_in + 0.5     # [px, VB]
+    pyc = base_ref[1:2, :] + y_in + 0.5
 
     def blend_group(qg, carry):
         cr, cg, cb, tt = carry
         g = [sp_ref[c, pl.ds(qg * 8, 8), :] for c in range(8)]  # [8, VB] x8
         for r in range(8):
-            rnx = g[0][r : r + 1, :]
-            rny = g[1][r : r + 1, :]
+            scx = g[0][r : r + 1, :]
+            scy = g[1][r : r + 1, :]
             ihx = g[2][r : r + 1, :]
             ihy = g[3][r : r + 1, :]
             sr = g[4][r : r + 1, :]
             sg = g[5][r : r + 1, :]
             sb = g[6][r : r + 1, :]
             sa = g[7][r : r + 1, :]
-            du = pxc * ihx - rnx * (0.5 + float(tile_w) * ihx)
-            dv = pyc * ihy - rny * (0.5 + float(tile_h) * ihy)
+            du = (pxc - scx) * ihx
+            dv = (pyc - scy) * ihy
             dist = jnp.sqrt(du * du + dv * dv)
             alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * sa      # [px, VB]
             if blend == "over":
@@ -88,6 +85,7 @@ def _kernel(sp_ref, out_ref, *, q_len, tile_h, tile_w, blend):
 )
 def composite_rows_pallas(
     sp: jax.Array,      # [8, Q, V] sprite params (Q multiple of 8)
+    bases: jax.Array,   # [2, V] float32 tile base pixel coords (x, y)
     tile_h: int,
     tile_w: int,
     blend: str = "over",
@@ -102,6 +100,7 @@ def composite_rows_pallas(
     pad = (-v) % vb
     if pad:
         sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        bases = jnp.pad(bases, ((0, 0), (0, pad)))
     vp = v + pad
     px = tile_h * tile_w
 
@@ -114,6 +113,7 @@ def composite_rows_pallas(
         in_specs=[
             pl.BlockSpec((8, q_len, vb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, vb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, px, vb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
@@ -127,5 +127,5 @@ def composite_rows_pallas(
             transcendentals=int(vp) * int(q_len) * px,
         ),
         interpret=interpret_flag(),
-    )(sp)
+    )(sp, bases)
     return out[:, :, :v] if pad else out

@@ -185,22 +185,10 @@ def _render(
 
     # Multi-operand stable sort carries the sprite params as payloads — one
     # sorting network instead of argsort + chains of random gathers
-    # (random access costs ~9-17 ns/element on TPU). Payload cost scales
-    # per OPERAND, not per byte (measured @1M, experiments/sort_cost.py:
-    # key alone 3.7 ms, +2.0-2.4 ms per f32 payload, f16 operands ~= f32),
-    # so carry the MINIMUM 3 and derive the rest after the sort on the
-    # Q-aligned rows:
-    #   - the sprite center rides as ONE lane: TILE-LOCAL offsets,
-    #     NORMALIZED by the sprite footprint (rel_x/(hx+TILE_W) ∈ [-1,1] —
-    #     a covered tile's origin always lies within hx+TILE_W of the
-    #     center) and quantized to two i16 fixed-point halves. The
-    #     composite reconstructs du = loc*ihx - rel_n*(0.5 + TILE_W*ihx)
-    #     with multiplies only, so the alpha error is ≤ (0.5+TILE*ihx)/
-    #     32767 ≈ 5e-4 of the alpha ramp for any sprite size — an order
-    #     under the golden tolerance (plain f16 pixel offsets measured
-    #     3.5e-3 at high intensity and failed the corpus). Locality also
-    #     lets the composite use per-tile pixel coordinates (a constant
-    #     [px] iota — no per-tile base gather).
+    # (random access costs ~9-17 ns/element on TPU). Payloads are NOT free
+    # at this size (measured @1M: key alone 2.9 ms, +7 payloads 17.6 ms —
+    # experiments/render_variants.py), so carry the MINIMUM 4 and derive
+    # the rest after the sort on the Q-aligned rows:
     #   - 1/(2hx), 1/(2hy) are linear in w_clip (hx = radius*p00*W/2 / w),
     #     so carry w_clip once and scale by per-frame scalars;
     #   - cr = 1 - cb (the VS color rule);
@@ -209,50 +197,25 @@ def _render(
     # Degenerate sprites (size 0, or w_clip == 0 at the eye plane) never
     # bin to a tile, but their params still ride the sort as payloads of
     # sentinel entries; NaN/Inf there would poison composite pixels
-    # through `x * 0 == NaN`, so sanitize the geometry params (clip the
-    # offsets inside the finite-f16 range; post-sort nan_to_num for the
-    # w-derived extents).
+    # through `x * 0 == NaN`, so sanitize the geometry params (post-sort
+    # for the w-derived extents).
     cx = jnp.nan_to_num(cx, nan=0.0, posinf=0.0, neginf=0.0)
     cy = jnp.nan_to_num(cy, nan=0.0, posinf=0.0, neginf=0.0)
-
-    def pack2f16(hi, lo):
-        return (
-            jnp.left_shift(
-                hi.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32),
-                16,
-            )
-            | lo.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
-        ).view(jnp.float32)
-
-    def q15(v):  # [-1, 1] float -> i16 fixed-point bits as uint32
-        v = jnp.clip(jnp.nan_to_num(v, nan=0.0, posinf=1.0, neginf=-1.0),
-                     -1.0, 1.0)
-        return (
-            jnp.round(v * 32767.0).astype(jnp.int16)
-            .view(jnp.uint16).astype(jnp.uint32)
-        )
-
-    den_x = jnp.abs(jnp.nan_to_num(hx, posinf=jnp.inf)) + jnp.float32(TILE_W)
-    den_y = jnp.abs(jnp.nan_to_num(hy, posinf=jnp.inf)) + jnp.float32(TILE_H)
-    rnx = (cx[:, None, None] - (tx * TILE_W).astype(jnp.float32)) / (
-        den_x[:, None, None]
-    )
-    rny = (cy[:, None, None] - (ty * TILE_H).astype(jnp.float32)) / (
-        den_y[:, None, None]
-    )
-    relxy = (
-        jnp.left_shift(q15(jnp.broadcast_to(rnx, (n, dup_y, dup_x))), 16)
-        | q15(jnp.broadcast_to(rny, (n, dup_y, dup_x)))
-    ).view(jnp.float32).reshape(n * dup)
     # clamp cg below f16-inf: the blend clips source terms to [0, 1] anyway,
     # and an f16 inf would NaN-poison dead slots through `inf * 0`
-    cgb = pack2f16(jnp.clip(cg, 0.0, 6.0e4), cb)
+    cgc = jnp.clip(cg, 0.0, 6.0e4)
+    cgb = (
+        jnp.left_shift(
+            cgc.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32), 16
+        )
+        | cb.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+    ).view(jnp.float32)
 
     def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
-    (sorted_key, s_relxy, s_w, s_cgb) = jax.lax.sort(
-        (key, relxy, expand(w_clip), expand(cgb)),
+    (sorted_key, s_cx, s_cy, s_w, s_cgb) = jax.lax.sort(
+        (key, expand(cx), expand(cy), expand(w_clip), expand(cgb)),
         dimension=0, num_keys=1, is_stable=True,
     )
 
@@ -260,6 +223,17 @@ def _render(
         sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     )
     counts = starts[1:] - starts[:-1]                     # [T]
+
+    # Pixel-center coordinate planes per tile: [T, tile_px].
+    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
+    base_x = (tidx % gw) * TILE_W
+    base_y = (tidx // gw) * TILE_H
+    ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    pxc = (base_x[:, None, None] + lx[None]).astype(jnp.float32) + 0.5
+    pyc = (base_y[:, None, None] + ly[None]).astype(jnp.float32) + 0.5
+    pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
+    pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
     # ---- exact segmented composite -----------------------------------------
     # Over-composition with a per-sprite source clamp is ASSOCIATIVE on
@@ -302,45 +276,31 @@ def _render(
     valid_k = (kk[:, None] >= lo_k[None, :]) & (kk[:, None] < hi_k[None, :])
     t_sa = jnp.where(valid_k, intensity, 0.0)  # [Q, V]; dead slots blend 0
 
-    # ONE channel-BLOCKED row-gather: lay the 3 sorted payloads side by
-    # side per data row ([data_rows, 3*Q], a lane concat — no interleave
-    # relayout), gather j_v once, then ONE [V, 3Q] -> [3Q, V] transpose
-    # whose leading split to [3, Q, V] is layout-free. The round-2
-    # interleaved pack ([E, 3] stack + two 3-minor transposes around the
-    # gather) measured +5.1 ms of pure relayout at 262K
-    # (experiments/render_profile.py).
-    def _rows(a):
-        if e_pad:
-            # tail pad: beyond every tile's `ends`, never selected by masks
-            a = jnp.concatenate([a, jnp.zeros((e_pad,), a.dtype)])
-        return a.reshape(data_rows, q)
-
-    cat = jnp.concatenate(
-        [_rows(s_relxy), _rows(s_w), _rows(s_cgb)], axis=1
-    )                                                   # [data_rows, 3Q]
-    spt = cat[j_v].T.reshape(3, q, num_rows)            # [3, Q, V]
+    # ONE packed row-gather: interleave the 4 sorted payloads per data row
+    # ([data_rows, 4*Q] rows), gather j_v once, then a single transpose to
+    # the [chan, Q, V] composite layout — measured 1.6x over 8 separate
+    # row-gathers + stack + transpose (experiments/render_variants.py).
+    payload = jnp.stack([s_cx, s_cy, s_w, s_cgb], axis=1)       # [E, 4]
+    if e_pad:
+        # tail pad: beyond every tile's `ends`, never selected by masks
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((e_pad, 4), payload.dtype)]
+        )
+    packed = payload.reshape(data_rows, q, 4)
+    packed = packed.transpose(0, 2, 1).reshape(data_rows, 4 * q)
+    spt = packed[j_v].reshape(num_rows, 4, q).transpose(1, 2, 0)  # [4, Q, V]
 
     # post-sort derivations on the [Q, V] planes (see sort comment above)
     inv_sx = 1.0 / (radius * p00 * jnp.float32(width))
     inv_sy = 1.0 / (radius * p11 * jnp.float32(height))
-    t_rel = spt[0].view(jnp.uint32)
-    inv_q15 = jnp.float32(1.0 / 32767.0)
-    t_rnx = (
-        jnp.right_shift(t_rel, 16).astype(jnp.uint16)
-        .view(jnp.int16).astype(jnp.float32) * inv_q15
-    )
-    t_rny = (
-        (t_rel & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-        .view(jnp.int16).astype(jnp.float32) * inv_q15
-    )
-    t_w = spt[1]
+    t_cx, t_cy, t_w = spt[0], spt[1], spt[2]
     t_ihx = jnp.nan_to_num(
         t_w * inv_sx, nan=0.0, posinf=0.0, neginf=0.0
     )
     t_ihy = jnp.nan_to_num(
         t_w * inv_sy, nan=0.0, posinf=0.0, neginf=0.0
     )
-    t_u = spt[2].view(jnp.uint32)
+    t_u = spt[3].view(jnp.uint32)
     t_cb = (
         (t_u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         .view(jnp.float16).astype(jnp.float32)
@@ -350,43 +310,39 @@ def _render(
         .view(jnp.float16).astype(jnp.float32)
     )
     t_cr = 1.0 - t_cb
-    xs = (t_rnx, t_rny, t_ihx, t_ihy, t_cr, t_cg, t_cb, t_sa)
+    xs = (t_cx, t_cy, t_ihx, t_ihy, t_cr, t_cg, t_cb, t_sa)
 
     if use_pallas_composite:
         # VMEM-resident composite kernel: params in, (rgb, T) rows out —
-        # no per-step HBM round trip of the carry planes. Sprite centers
-        # are tile-local, so the kernel needs no per-tile base input.
+        # no per-step HBM round trip of the carry planes.
         from multi_adapter_particles_tpu.ops.composite import (
             composite_rows_pallas,
         )
 
+        bases = jnp.stack(
+            [
+                (base_x[tile_vc]).astype(jnp.float32),
+                (base_y[tile_vc]).astype(jnp.float32),
+            ]
+        )                               # [2, V]
         out4 = composite_rows_pallas(
-            jnp.stack(xs), TILE_H, TILE_W, blend=blend
+            jnp.stack(xs), bases, TILE_H, TILE_W, blend=blend
         )
         cr_v = out4[0].T
         cg_v = out4[1].T
         cb_v = out4[2].T
         tv = out4[3].T
     else:
-        # tile-local pixel centers: one constant [px] plane for all rows
-        pix = jnp.arange(px_count, dtype=jnp.int32)
-        loc_x = (pix % TILE_W).astype(jnp.float32) + 0.5
-        loc_y = (pix // TILE_W).astype(jnp.float32) + 0.5
+        pxc_v = pxc[tile_vc]
+        pyc_v = pyc[tile_vc]
 
         def step(carry, sprite):
             # per-channel [V, px] planes: no [V, 3, px] sublane padding
-            # waste, no per-step stack/relayout. du = (pix - cx)/(2hx)
-            # reconstructed from the footprint-normalized center:
-            # rel_n*(hx+TILE)*ihx = rel_n*(0.5 + TILE*ihx) — multiplies
-            # only, exact at ihx = 0 (dead slots).
+            # waste, no per-step stack/relayout
             crb, cgb, cbb, tbuf = carry
-            srnx, srny, sihx, sihy, sr, sg, sb, ssa = sprite  # each [V]
-            du = loc_x[None, :] * sihx[:, None] - srnx[:, None] * (
-                0.5 + jnp.float32(TILE_W) * sihx[:, None]
-            )
-            dv = loc_y[None, :] * sihy[:, None] - srny[:, None] * (
-                0.5 + jnp.float32(TILE_H) * sihy[:, None]
-            )
+            scx, scy, sihx, sihy, sr, sg, sb, ssa = sprite  # each [V]
+            du = (pxc_v - scx[:, None]) * sihx[:, None]     # (px-cx)/(2hx)
+            dv = (pyc_v - scy[:, None]) * sihy[:, None]
             dist = jnp.sqrt(du * du + dv * dv)
             alpha = jnp.clip(0.5 - dist, 0.0, 0.5) * ssa[:, None]  # [V, px]
             if blend == "over":
@@ -484,11 +440,10 @@ class Renderer:
         blend: str = "over",
         auto_raise_dup: bool = True,
     ):
-        """seg_q None = adaptive: ~the mean entries/tile as a power of two,
-        clamped to [32, 256] (round-3 re-measure on the 4-operand
-        pipeline: Q=128 beats 64 by ~1.7 ms at 262K/1024² — fewer virtual
-        rows shrink rowbuild+combine; Q=256 still best at 4M; per-row
-        bookkeeping dominates small Q, tail padding dominates large Q)."""
+        """seg_q None = adaptive: ~half the mean entries/tile, clamped to
+        [32, 256] (measured optimum scales with particle density: Q=64 best
+        at 262K, Q=256 best at 4M — per-row bookkeeping dominates small Q,
+        tail padding dominates large Q)."""
         self.config = config or RenderConfig()
         if self.config.width % TILE_W or self.config.height % TILE_H:
             raise ValueError(
@@ -539,7 +494,7 @@ class Renderer:
         tiles = (cfg.width // TILE_W) * (cfg.height // TILE_H)
         density = n * self.dup_y * self.dup_x // max(tiles, 1)
         q = 32
-        while q < 256 and q * 2 <= density:
+        while q < 256 and q * 2 <= density // 2:
             q *= 2
         return q
 

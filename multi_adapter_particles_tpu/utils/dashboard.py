@@ -93,14 +93,18 @@ def render_ansi(app, clear: bool = True) -> str:
 
 
 def write_html(app, path: str, frame=None) -> None:
-    """Self-contained HTML status page (+ inlined frame PNG if given)."""
+    """Self-contained HTML status page (+ inlined frame PNG if given,
+    with the panel composited into the image — the in-window imgui
+    analog)."""
     img_tag = ""
     if frame is not None:
         import numpy as np
 
+        from multi_adapter_particles_tpu.utils.overlay import composite_panel
         from multi_adapter_particles_tpu.utils.png import write_png
 
-        arr = np.asarray(frame)
+        arr = composite_panel(np.asarray(frame),
+                              render_ansi(app, clear=False))
         import tempfile, os
 
         with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
@@ -177,7 +181,7 @@ class DashboardServer:
     """
 
     def __init__(self, particles, port: int = 0, host: str = "127.0.0.1",
-                 stream_fps: float = 15.0):
+                 stream_fps: float = 15.0, overlay_panel: bool = True):
         self.particles = particles
         self._pending = []
         self._lock = threading.Lock()
@@ -193,6 +197,9 @@ class DashboardServer:
         self._stream_min_dt = 1.0 / max(stream_fps, 0.1)
         self._stream_last_t = 0.0
         self._closing = False
+        # composite the text panel INTO the streamed frame — the
+        # imgui-drawn-into-the-swap-chain analog (`Render.cpp:894`)
+        self.overlay_panel = overlay_panel
 
         dash = self
 
@@ -306,7 +313,17 @@ setInterval(() => {{
         if now - self._stream_last_t < self._stream_min_dt:
             return False
         self._stream_last_t = now
-        png = _frame_png_bytes(frame, level=1)
+        import numpy as np
+
+        arr = np.asarray(frame)
+        if self.overlay_panel:
+            from multi_adapter_particles_tpu.utils.overlay import (
+                composite_panel,
+            )
+
+            arr = composite_panel(arr, render_ansi(self.particles,
+                                                   clear=False))
+        png = _frame_png_bytes(arr, level=1)
         with self._stream_cond:
             self._stream_png = png
             self._stream_seq += 1

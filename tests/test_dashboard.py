@@ -96,3 +96,47 @@ def test_publish_rate_limit():
         with srv._stream_cond:
             srv._stream_clients = 0
         srv.close()
+
+
+def test_panel_composited_into_frame():
+    """The viewer surfaces draw the text panel INTO the frame pixels —
+    the reference renders imgui into the swap-chain image
+    (`Render.cpp:894`). -dumpframe stays clean."""
+    from multi_adapter_particles_tpu.utils.overlay import composite_panel
+
+    frame = np.zeros((128, 256, 3), np.float32)
+    out = composite_panel(frame, "FRAME 42\nSIZE: 2.5")
+    assert out.dtype == np.uint8
+    assert out.sum() > 0                        # glyph pixels landed
+    assert (out[:, :, 0] == 255).any()          # white text present
+    # original array untouched (composite works on a copy)
+    assert frame.sum() == 0.0
+
+
+def test_stream_carries_overlay():
+    import socket
+    import time
+
+    app = make_app()
+    app.draw()
+    app.render.present()
+    frame = np.asarray(app.render.last_frame)
+    srv = dashboard.DashboardServer(app, port=0, stream_fps=1e6)
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"GET /stream HTTP/1.1\r\nHost: t\r\n\r\n")
+        deadline = time.time() + 10
+        while srv.stream_clients == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.publish_frame(frame) is True  # composites + pushes
+        buf = b""
+        s.settimeout(10)
+        while b"\x89PNG" not in buf and time.time() < deadline:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        assert b"\x89PNG" in buf
+        s.close()
+    finally:
+        srv.close()

@@ -41,13 +41,183 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from multi_adapter_particles_tpu.ops.p3m import (
-    _SIGMA_PER_CUTOFF,
-    _short_factor,
-)
+from multi_adapter_particles_tpu.ops import pm
+from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
+from multi_adapter_particles_tpu.ops.p3m import _SIGMA_PER_CUTOFF
 
 _PARK = jnp.float32(1.0e9)
+
+# -- Chebyshev short-range factor (no erf/exp in the hot loop) ---------------
+# s_short(r) = s_exact - g_long needs erf + exp per pair (~35 of the
+# sweep's ~55 ops, and Mosaic has no erf primitive at all). The combined
+# Ewald numerator G(t) = g_long * r^3 (t = r/sigma) is UNIVERSAL and
+# satisfies G(t) = sqrt(2/pi) * Int_0^t s^2 e^(-s^2/2) ds — positive, no
+# cancellation — so H(v) = G(t)/t^3 (v = t^2) is smooth on [0, t_c^2] and a
+# degree-12 Chebyshev fit reproduces the force to ~1e-5 of EXACT (measured
+# in f64: 6.2e-7; f32 Clenshaw noise dominates at ~1e-5). Beyond the
+# cutoff the factor is set to 0 — inside the 1.4e-4 truncation budget the
+# 27-neighborhood already implies.
+_TC = 4.5                      # cutoff in t = r/sigma units (= r_c/sigma)
+_VMAX = _TC * _TC
+_CHEB_DEG = 12
+
+
+def _fit_h_cheb():
+    """Host-side degree-12 Chebyshev fit of H(v) on [0, VMAX] (f64)."""
+    import math
+
+    import numpy as np
+
+    v = np.linspace(0.0, _VMAX, 8001)
+    t = np.sqrt(v)
+    # series for small t (alternating, converges fast for v <= 4):
+    #   H(v) = sqrt(2/pi) * sum_n (-v/2)^n / (n! (2n+3))
+    hs = np.zeros_like(v)
+    term = np.ones_like(v)
+    for n in range(0, 40):
+        hs += term / (2 * n + 3)
+        term = term * (-v / 2) / (n + 1)
+    hs *= math.sqrt(2.0 / math.pi)
+    # exact formula for large t (no cancellation there)
+    erf_v = np.vectorize(math.erf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        he = (
+            erf_v(t / math.sqrt(2.0))
+            - math.sqrt(2.0 / math.pi) * t * np.exp(-v / 2.0)
+        ) / np.maximum(t, 1e-30) ** 3
+    h = np.where(v <= 4.0, hs, he)
+    from numpy.polynomial import chebyshev as _C
+
+    # fit in the MAPPED variable x = 2v/VMAX - 1 (the kernel's Clenshaw
+    # evaluates T_k(x) on [-1, 1])
+    x = 2.0 * v / _VMAX - 1.0
+    return _C.chebfit(x, h, _CHEB_DEG).astype(np.float32)
+
+
+_H_CHEB = tuple(float(c) for c in _fit_h_cheb())
+
+
+def short_factor_cheb(d2, eps2, sigma):
+    """Chebyshev s_short: bit-compatible SEMANTICS with p3m._short_factor
+    to ~1e-5 of the exact force inside the cutoff, exactly 0 beyond it.
+    Pallas-legal (rsqrt + FMAs only) and ~2x fewer ops than the erf form."""
+    inv = jax.lax.rsqrt(d2 + jnp.float32(eps2))
+    s_exact = inv * inv * inv
+    v = d2 * jnp.float32(1.0 / (sigma * sigma))
+    x = jnp.clip(v * jnp.float32(2.0 / _VMAX) - 1.0, -1.0, 1.0)
+    b0 = jnp.zeros_like(x)
+    b1 = jnp.zeros_like(x)
+    for c in _H_CHEB[:0:-1]:
+        b0, b1 = jnp.float32(c) + 2.0 * x * b0 - b1, b0
+    h = jnp.float32(_H_CHEB[0]) + x * b0 - b1
+    s = s_exact - h * jnp.float32(1.0 / sigma**3)
+    return jnp.where(v <= jnp.float32(_VMAX), s, 0.0)
+
+
+# -- Pallas sweep kernel ------------------------------------------------------
+def _sweep_kernel(
+    bounds_ref,   # SMEM [nb+1] int32 (prefetch): per-target pair-list range
+    jidx_ref,     # SMEM [p_max] int32 (prefetch): source block per pair
+    spos_hbm,     # [4, nb*B] ANY — sorted positions, j-stream via DMA
+    posT_i,       # [B, 4] VMEM — this target block (x, y, z, 0 columns)
+    out_ref,      # [B, 4] VMEM — near acceleration (x, y, z, 0)
+    buf,          # [2, 4, B] VMEM scratch — double-buffered source blocks
+    sem,          # [2] DMA semaphores
+    *,
+    block: int,
+    eps2: float,
+    sigma: float,
+):
+    i = pl.program_id(0)
+    s = bounds_ref[i]
+    e = bounds_ref[i + 1]
+    xi = posT_i[:, 0:1]   # [B, 1]
+    yi = posT_i[:, 1:2]
+    zi = posT_i[:, 2:3]
+
+    def dma(slot, t):
+        j = jidx_ref[t]
+        return pltpu.make_async_copy(
+            spos_hbm.at[:, pl.ds(j * block, block)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def body(t, acc):
+        ax, ay, az = acc
+        slot = jax.lax.rem(t - s, 2)
+
+        @pl.when(t + 1 < e)
+        def _():
+            dma(1 - slot, t + 1).start()
+
+        dma(slot, t).wait()
+        tile = buf[slot]
+        dx = tile[0:1, :] - xi       # [B, B] sources on lanes
+        dy = tile[1:2, :] - yi
+        dz = tile[2:3, :] - zi
+        d2 = dx * dx + dy * dy + dz * dz
+        f = short_factor_cheb(d2, eps2, jnp.float32(sigma))
+        return (
+            ax + jnp.sum(dx * f, axis=1, keepdims=True),
+            ay + jnp.sum(dy * f, axis=1, keepdims=True),
+            az + jnp.sum(dz * f, axis=1, keepdims=True),
+        )
+
+    zero = jnp.zeros((block, 1), jnp.float32)
+
+    @pl.when(s < e)
+    def _():
+        dma(jnp.int32(0), s).start()
+
+    ax, ay, az = jax.lax.fori_loop(s, e, body, (zero, zero, zero))
+    out_ref[:, :] = jnp.concatenate(
+        [ax, ay, az, jnp.zeros_like(ax)], axis=1
+    )
+
+
+def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
+    """[nb*B, 3] per-particle near sums (sorted order) via the VMEM sweep.
+
+    Grid walks target blocks; each streams its neighbor-list source blocks
+    (prefetched scalars) HBM->VMEM double-buffered, accumulating [B, 1]
+    register columns — the ops/allpairs.py pipeline steered by the
+    dual-tree pair list instead of a dense j-range."""
+    import functools
+
+    spos = jnp.stack([sx, sy, sz, jnp.zeros_like(sx)])        # [4, nb*B]
+    sposT = spos.T                                            # [nb*B, 4]
+    kernel = functools.partial(
+        _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((block, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 4), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * block, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_flag(),
+    )(bounds, j_idx, spos, sposT)
+    return out[:, :3]
 
 
 def _morton(ib, bits: int):
@@ -178,43 +348,67 @@ def near_field_tree(
     j_idx = sidx % nb
     dropped = jnp.maximum(total - p_max, 0)
 
-    # -- direct interactions: chunked BxB sweep over listed pairs ------------
-    bx = sx.reshape(nb, block)
-    by = sy.reshape(nb, block)
-    bz = sz.reshape(nb, block)
-    n_chunks = p_max // pc
+    # -- direct interactions over the listed pairs ----------------------------
+    from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 
-    def chunk_body(args):
-        ii, jj, vv = args                       # each [pc]
-        xi, yi, zi = bx[ii], by[ii], bz[ii]     # [pc, B] wide-row gathers
-        xj, yj, zj = bx[jj], by[jj], bz[jj]
-        dxv = xj[:, None, :] - xi[:, :, None]   # [pc, B, B] sources on lanes
-        dyv = yj[:, None, :] - yi[:, :, None]
-        dzv = zj[:, None, :] - zi[:, :, None]
-        d2 = dxv * dxv + dyv * dyv + dzv * dzv
-        s = _short_factor(d2, eps2, sigma) * vv[:, None, None]
-        return jnp.stack(
-            [
-                jnp.sum(s * dxv, axis=-1),
-                jnp.sum(s * dyv, axis=-1),
-                jnp.sum(s * dzv, axis=-1),
-            ],
-            axis=-1,
-        )                                       # [pc, B, 3]
+    # The sweep kernel prefetches bounds [nb+1] + j_idx [p_max] into SMEM
+    # (1 MiB/core on v5e; measured overflow at p_max=269312 int32s). Leave
+    # headroom for Mosaic's own scalars and fall back to the XLA sweep for
+    # oversized pair lists (huge budgets = small near grids, where the
+    # dense chunked sweep is the better structure anyway).
+    smem_ok = 4 * (p_max + nb + 1) <= 768 * 1024
+    if pallas_supported() and block <= 512 and smem_ok:
+        # VMEM sweep kernel: per target block, its neighbor sources stream
+        # HBM->VMEM through a double-buffered DMA pipeline (the
+        # ops/allpairs.py structure driven by the prefetched pair list).
+        # Per-target accumulation happens in registers — no [P, B, 3]
+        # materialization, no segment sum.
+        i_sent = jnp.where(skey[:p_max] == 0, i_idx, nb)  # ascending
+        bounds = pm._segment_bounds(i_sent, nb)            # [nb+1]
+        acc_b = _near_sweep_pallas(
+            sx, sy, sz, bounds, j_idx, nb=nb, block=block,
+            eps2=eps2, sigma=float(sigma),
+        )
+    else:
+        bx = sx.reshape(nb, block)
+        by = sy.reshape(nb, block)
+        bz = sz.reshape(nb, block)
+        n_chunks = p_max // pc
 
-    pair_f = jax.lax.map(
-        chunk_body,
-        (
-            i_idx.reshape(n_chunks, pc),
-            j_idx.reshape(n_chunks, pc),
-            valid.reshape(n_chunks, pc),
-        ),
-    ).reshape(p_max, block * 3)
+        def chunk_body(args):
+            ii, jj, vv = args                     # each [pc]
+            xi, yi, zi = bx[ii], by[ii], bz[ii]   # [pc, B] wide-row gathers
+            xj, yj, zj = bx[jj], by[jj], bz[jj]
+            dxv = xj[:, None, :] - xi[:, :, None]  # [pc, B, B] src on lanes
+            dyv = yj[:, None, :] - yi[:, :, None]
+            dzv = zj[:, None, :] - zi[:, :, None]
+            d2 = dxv * dxv + dyv * dyv + dzv * dzv
+            # Chebyshev factor: ~2x fewer ops than the erf form, 5.5e-6
+            # of exact everywhere (the f32 erf form itself loses 45% at
+            # r<0.01 to cancellation — see short_factor_cheb)
+            s = short_factor_cheb(d2, eps2, sigma) * vv[:, None, None]
+            return jnp.stack(
+                [
+                    jnp.sum(s * dxv, axis=-1),
+                    jnp.sum(s * dyv, axis=-1),
+                    jnp.sum(s * dzv, axis=-1),
+                ],
+                axis=-1,
+            )                                     # [pc, B, 3]
 
-    # i-major pair list -> per-target-block sums (sorted segment sum)
-    acc_b = jax.ops.segment_sum(
-        pair_f, i_idx, num_segments=nb, indices_are_sorted=True
-    ).reshape(nb * block, 3)
+        pair_f = jax.lax.map(
+            chunk_body,
+            (
+                i_idx.reshape(n_chunks, pc),
+                j_idx.reshape(n_chunks, pc),
+                valid.reshape(n_chunks, pc),
+            ),
+        ).reshape(p_max, block * 3)
+
+        # i-major pair list -> per-target-block sums (sorted segment sum)
+        acc_b = jax.ops.segment_sum(
+            pair_f, i_idx, num_segments=nb, indices_are_sorted=True
+        ).reshape(nb * block, 3)
 
     # -- un-sort to particle order (payload sort, not a scatter) -------------
     _, fx, fy, fz = jax.lax.sort(

@@ -37,6 +37,9 @@ BASELINE_PAIRS_PER_SEC = 1.0e12
 FRAME_BUDGET_MS = 1000.0 / 60.0        # README.md:12 60 FPS win condition
 RENDER_R1_MS = 35.9                    # round-1 measured 262K @1024^2
 PM_R1_MS = 553.0                       # round-1 measured 4M @G=128
+EXACT_262K_MS = 371.0                  # Pallas all-pairs on the 262K demo
+#                                        scene (the reference's only exact
+#                                        mode) — tree-P3M's bar to beat
 
 N_KERNEL = 1_048_576
 N_FRAME = 262_144
@@ -224,6 +227,49 @@ def _bench_pm(jax, n: int, grid: int, steps: int) -> dict:
     }
 
 
+def _bench_tree(jax, n: int, grid: int, reps: int) -> dict:
+    """Tree-P3M exactness mode on the demo init (VERDICT r2 #2): <1% RMS
+    on ANY scene at a fraction of the exact all-pairs cost. Baseline:
+    371 ms = the optimized Pallas all-pairs kernel on the same 262K scene
+    (vs_baseline >1 = cheaper than the reference's only exact mode)."""
+    import numpy as np
+
+    from multi_adapter_particles_tpu.models import init as pinit
+    from multi_adapter_particles_tpu.ops import p3m
+    from multi_adapter_particles_tpu.ops.treeforce import host_pair_budget
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    box = 2048.0
+    state = pinit.initialize_particles_device(n, seed=42)
+    sync(state.position)
+    pos = state.position
+    r_c = 6.75 * box / grid
+    gn = max(int(box // r_c), 1)
+    budget = host_pair_budget(np.asarray(pos), box, r_c, gn)
+
+    def accel():
+        acc, dropped = p3m.p3m_accel_with_overflow(
+            pos, grid=grid, box=box, g_const=70000.0,
+            softening_squared=25.0, near_mode="tree", pair_budget=budget,
+        )
+        return acc, dropped
+
+    acc, dropped = accel()
+    sync(acc)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        acc, dropped = accel()
+    sync(acc)
+    ms = (time.perf_counter() - t0) * 1000.0 / reps
+    return {
+        "metric": f"tree-P3M accel ms @ {n} particles (demo scene), G={grid}",
+        "value": ms,
+        "unit": "ms/accel",
+        "vs_baseline": EXACT_262K_MS / ms,
+        "dropped_pairs": int(dropped),
+    }
+
+
 def main() -> int:
     import jax
 
@@ -258,6 +304,8 @@ def main() -> int:
     timed_frames = 30 if on_tpu else timed
     for name, fn in (
         ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
+        ("tree", lambda: _bench_tree(
+            jax, n_frame, 128 if on_tpu else 16, 5 if on_tpu else 2)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
         ("frame", lambda: _bench_frame(

@@ -50,23 +50,26 @@ from multi_adapter_particles_tpu.ops.p3m import _SIGMA_PER_CUTOFF
 
 _PARK = jnp.float32(1.0e9)
 
-# -- Chebyshev short-range factor (no erf/exp in the hot loop) ---------------
-# s_short(r) = s_exact - g_long needs erf + exp per pair (~35 of the
-# sweep's ~55 ops, and Mosaic has no erf primitive at all). The combined
-# Ewald numerator G(t) = g_long * r^3 (t = r/sigma) is UNIVERSAL and
-# satisfies G(t) = sqrt(2/pi) * Int_0^t s^2 e^(-s^2/2) ds — positive, no
-# cancellation — so H(v) = G(t)/t^3 (v = t^2) is smooth on [0, t_c^2] and a
-# degree-12 Chebyshev fit reproduces the force to ~1e-5 of EXACT (measured
-# in f64: 6.2e-7; f32 Clenshaw noise dominates at ~1e-5). Beyond the
-# cutoff the factor is set to 0 — inside the 1.4e-4 truncation budget the
-# 27-neighborhood already implies.
+# -- Polynomial short-range factor (no erf/exp in the hot loop) --------------
+# s_short(r) = s_exact - g_long needs erf + exp per pair (most of the
+# sweep's per-pair ops, and Mosaic has no erf primitive at all). The
+# combined Ewald numerator G(t) = g_long * r^3 (t = r/sigma) is UNIVERSAL
+# and satisfies G(t) = sqrt(2/pi) * Int_0^t s^2 e^(-s^2/2) ds — positive,
+# no cancellation — so H(v) = G(t)/t^3 (v = t^2) is smooth on [0, t_c^2]
+# and a degree-12 least-squares polynomial (fit in the mapped variable
+# x = 2v/VMAX - 1 for conditioning, evaluated by 12-FMA HORNER — measured
+# identical accuracy to the 24-FMA Clenshaw form: maxrel 5.1e-6 vs the
+# f64 truth at every separation) reproduces the force to ~1e-5 of EXACT.
+# Beyond the cutoff the factor is set to 0 — inside the 1.4e-4 truncation
+# budget the 27-neighborhood already implies.
 _TC = 4.5                      # cutoff in t = r/sigma units (= r_c/sigma)
 _VMAX = _TC * _TC
-_CHEB_DEG = 12
+_POLY_DEG = 12
 
 
-def _fit_h_cheb():
-    """Host-side degree-12 Chebyshev fit of H(v) on [0, VMAX] (f64)."""
+def _fit_h_poly():
+    """Host-side degree-12 monomial fit of H(v) on [0, VMAX] (f64),
+    in the mapped variable x = 2v/VMAX - 1."""
     import math
 
     import numpy as np
@@ -89,43 +92,50 @@ def _fit_h_cheb():
             - math.sqrt(2.0 / math.pi) * t * np.exp(-v / 2.0)
         ) / np.maximum(t, 1e-30) ** 3
     h = np.where(v <= 4.0, hs, he)
-    from numpy.polynomial import chebyshev as _C
-
-    # fit in the MAPPED variable x = 2v/VMAX - 1 (the kernel's Clenshaw
-    # evaluates T_k(x) on [-1, 1])
     x = 2.0 * v / _VMAX - 1.0
-    return _C.chebfit(x, h, _CHEB_DEG).astype(np.float32)
+    import numpy.polynomial.polynomial as _P
+
+    return _P.polyfit(x, h, _POLY_DEG).astype(np.float32)
 
 
-_H_CHEB = tuple(float(c) for c in _fit_h_cheb())
+_H_POLY = tuple(float(c) for c in _fit_h_poly())
 
 
 def short_factor_cheb(d2, eps2, sigma):
-    """Chebyshev s_short: bit-compatible SEMANTICS with p3m._short_factor
+    """Polynomial s_short: bit-compatible SEMANTICS with p3m._short_factor
     to ~1e-5 of the exact force inside the cutoff, exactly 0 beyond it.
-    Pallas-legal (rsqrt + FMAs only) and ~2x fewer ops than the erf form."""
+    Pallas-legal (rsqrt + FMAs only); ~33 ops/pair vs the erf form's ~55
+    (name kept from the Chebyshev-basis original — same fit, now evaluated
+    by Horner at half the FMAs)."""
     inv = jax.lax.rsqrt(d2 + jnp.float32(eps2))
     s_exact = inv * inv * inv
     v = d2 * jnp.float32(1.0 / (sigma * sigma))
     x = jnp.clip(v * jnp.float32(2.0 / _VMAX) - 1.0, -1.0, 1.0)
-    b0 = jnp.zeros_like(x)
-    b1 = jnp.zeros_like(x)
-    for c in _H_CHEB[:0:-1]:
-        b0, b1 = jnp.float32(c) + 2.0 * x * b0 - b1, b0
-    h = jnp.float32(_H_CHEB[0]) + x * b0 - b1
+    h = jnp.full_like(x, jnp.float32(_H_POLY[-1]))
+    for c in _H_POLY[-2::-1]:
+        h = h * x + jnp.float32(c)
     s = s_exact - h * jnp.float32(1.0 / sigma**3)
     return jnp.where(v <= jnp.float32(_VMAX), s, 0.0)
 
 
 # -- Pallas sweep kernel ------------------------------------------------------
+# DMA ring depth: a [4, B] source tile is only ~4 KB, so the copy is
+# LATENCY-bound (~1 us issue+latency vs ~0.3 us of B=256 pair math) — a
+# double buffer leaves the sweep DMA-bound at ~2.8x off the dense-kernel
+# rate. Keep _RING-1 copies in flight instead; slot t is re-filled one
+# iteration after its compute (the dense kernel's reuse discipline).
+_RING = 8
+
+
 def _sweep_kernel(
     bounds_ref,   # SMEM [nb+1] int32 (prefetch): per-target pair-list range
-    jidx_ref,     # SMEM [p_max] int32 (prefetch): source block per pair
+    jidx_ref,     # SMEM [ceil(p_max/2)] int32 (prefetch): source block per
+    #               pair, two uint16 halves per word (low half = even pair)
     spos_hbm,     # [4, nb*B] ANY — sorted positions, j-stream via DMA
     posT_i,       # [B, 4] VMEM — this target block (x, y, z, 0 columns)
     out_ref,      # [B, 4] VMEM — near acceleration (x, y, z, 0)
-    buf,          # [2, 4, B] VMEM scratch — double-buffered source blocks
-    sem,          # [2] DMA semaphores
+    buf,          # [_RING, 4, B] VMEM scratch — ring of source blocks
+    sem,          # [_RING] DMA semaphores
     *,
     block: int,
     eps2: float,
@@ -139,7 +149,13 @@ def _sweep_kernel(
     zi = posT_i[:, 2:3]
 
     def dma(slot, t):
-        j = jidx_ref[t]
+        # j_idx rides SMEM as two uint16 halves per int32 word (doubles
+        # the pair-list capacity under the 1 MiB SMEM roof; block ids
+        # are < 2^15 by the nb<=2048 adaptive-block cap)
+        word = jidx_ref[t >> 1]
+        j = jax.lax.shift_right_logical(
+            word, (t & 1) * 16
+        ) & jnp.int32(0xFFFF)
         return pltpu.make_async_copy(
             spos_hbm.at[:, pl.ds(j * block, block)],
             buf.at[slot],
@@ -148,11 +164,13 @@ def _sweep_kernel(
 
     def body(t, acc):
         ax, ay, az = acc
-        slot = jax.lax.rem(t - s, 2)
+        slot = jax.lax.rem(t - s, _RING)
 
-        @pl.when(t + 1 < e)
+        @pl.when(t + _RING - 1 < e)
         def _():
-            dma(1 - slot, t + 1).start()
+            # slot of t+_RING-1 == slot of t-1: its compute finished last
+            # iteration, the ring stays _RING-1 deep
+            dma(jax.lax.rem(t - s + _RING - 1, _RING), t + _RING - 1).start()
 
         dma(slot, t).wait()
         tile = buf[slot]
@@ -169,9 +187,13 @@ def _sweep_kernel(
 
     zero = jnp.zeros((block, 1), jnp.float32)
 
-    @pl.when(s < e)
-    def _():
-        dma(jnp.int32(0), s).start()
+    def prologue(r):
+        @pl.when(s + r < e)
+        def _():
+            dma(jnp.int32(r), s + r).start()
+
+    for r in range(_RING - 1):
+        prologue(r)
 
     ax, ay, az = jax.lax.fori_loop(s, e, body, (zero, zero, zero))
     out_ref[:, :] = jnp.concatenate(
@@ -190,6 +212,14 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
 
     spos = jnp.stack([sx, sy, sz, jnp.zeros_like(sx)])        # [4, nb*B]
     sposT = spos.T                                            # [nb*B, 4]
+    # pack j_idx as two uint16 halves per int32 word (see _sweep_kernel)
+    p = j_idx.shape[0]
+    j16 = j_idx.astype(jnp.uint32)
+    if p % 2:
+        j16 = jnp.concatenate([j16, jnp.zeros((1,), jnp.uint32)])
+    jpacked = (
+        j16[0::2] | (j16[1::2] << jnp.uint32(16))
+    ).astype(jnp.int32)
     kernel = functools.partial(
         _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma)
     )
@@ -204,8 +234,8 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
         out_specs=pl.BlockSpec((block, 4), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, block), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_RING, 4, block), jnp.float32),
+            pltpu.SemaphoreType.DMA((_RING,)),
         ],
     )
     out = pl.pallas_call(
@@ -216,7 +246,7 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_flag(),
-    )(bounds, j_idx, spos, sposT)
+    )(bounds, jpacked, spos, sposT)
     return out[:, :3]
 
 
@@ -351,12 +381,12 @@ def near_field_tree(
     # -- direct interactions over the listed pairs ----------------------------
     from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 
-    # The sweep kernel prefetches bounds [nb+1] + j_idx [p_max] into SMEM
-    # (1 MiB/core on v5e; measured overflow at p_max=269312 int32s). Leave
-    # headroom for Mosaic's own scalars and fall back to the XLA sweep for
-    # oversized pair lists (huge budgets = small near grids, where the
-    # dense chunked sweep is the better structure anyway).
-    smem_ok = 4 * (p_max + nb + 1) <= 768 * 1024
+    # The sweep kernel prefetches bounds [nb+1] + uint16-packed j_idx
+    # [p_max/2 words] into SMEM (1 MiB/core on v5e; measured overflow at
+    # 1.05 MB of prefetched scalars). Leave headroom for Mosaic's own
+    # scalars and fall back to the XLA sweep for oversized pair lists
+    # (~>380K pairs; the packing already covers 1M-particle budgets).
+    smem_ok = 4 * (p_max // 2 + nb + 1) <= 768 * 1024
     if pallas_supported() and block <= 512 and smem_ok:
         # VMEM sweep kernel: per target block, its neighbor sources stream
         # HBM->VMEM through a double-buffered DMA pipeline (the

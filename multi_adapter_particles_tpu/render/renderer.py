@@ -162,17 +162,21 @@ def _render(
 
     # Candidate tiles: (ty0 + dy, tx0 + dx). Sprites spanning more tiles than
     # dup_y x dup_x lose their far tiles -> counted in `truncated` below.
-    dys = jnp.arange(dup_y, dtype=jnp.int32)
-    dxs = jnp.arange(dup_x, dtype=jnp.int32)
-    ty = ty0[:, None, None] + dys[None, :, None]  # [Np, dup_y, 1]
-    tx = tx0[:, None, None] + dxs[None, None, :]  # [Np, 1, dup_x]
-    ok = (
-        nonempty[:, None, None]
-        & (ty <= ty1[:, None, None])
-        & (tx <= tx1[:, None, None])
-    )
-    key = jnp.where(ok, ty * gw + tx, num_tiles)  # invalid -> sentinel bin
-    key = key.reshape(n * dup)  # particle-major: stable sort keeps id order
+    # Keys are built as dup FLAT [Np] planes (perfect [8, 128] layouts —
+    # the [Np, dup_y, dup_x] formulation landed in T(2, 128) tilings that
+    # cost ~4 ms/frame at 262K, measured experiments/render_opprofile.py),
+    # as f32 (tile ids < 2^24 are exact; an f32 key sorts identically and
+    # rides the same all-f32 comparator network).
+    key_planes = []
+    for dy in range(dup_y):
+        for dx in range(dup_x):
+            typ = ty0 + dy
+            txp = tx0 + dx
+            okp = nonempty & (typ <= ty1) & (txp <= tx1)
+            key_planes.append(
+                jnp.where(okp, (typ * gw + txp).astype(jnp.float32),
+                          jnp.float32(num_tiles))
+            )
     truncated = jnp.sum(
         jnp.maximum(ty1 - ty0 + 1 - dup_y, 0) * (tx1 - tx0 + 1)
         + jnp.maximum(tx1 - tx0 + 1 - dup_x, 0)
@@ -214,26 +218,60 @@ def _render(
     def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
+    # Entry expansion (e = p*dup + k). The broadcast->reshape form writes
+    # [Np, dup] tiles 128/dup-padded (~0.4 ms per operand at 1M entries);
+    # when dup divides 128 the interleave is instead ONE exact 0/1
+    # permutation matmul per operand on the MXU: out2d[r, c] =
+    # in[r*g + c//dup] (payloads) and key2d[r, c] = plane[c%dup][r*g +
+    # c//dup] (keys), g = 128//dup. Selection through >=HIGH precision is
+    # bit-exact for f32 VALUES; cgb stays on the broadcast path because it
+    # is a bit PATTERN (packed f16 pair) whose denormal encodings a matmul
+    # would flush.
+    if dup == 1:
+        key = key_planes[0]
+        e_cx, e_cy, e_w = cx, cy, w_clip
+    elif 128 % dup == 0 and (n * dup) % 128 == 0:
+        g = 128 // dup
+        rows_e = (n * dup) // 128
+        pexp = np.zeros((g, 128), np.float32)
+        pkey = np.zeros((128, 128), np.float32)
+        for j in range(g):
+            for k in range(dup):
+                pexp[j, j * dup + k] = 1.0
+                pkey[k * g + j, j * dup + k] = 1.0
+        pexp = jnp.asarray(pexp)
+        pkey = jnp.asarray(pkey)
+
+        def _mm(a2, p):
+            return jax.lax.dot_general(
+                a2, p, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1)
+
+        key = _mm(
+            jnp.concatenate(
+                [p.reshape(rows_e, g) for p in key_planes], axis=1
+            ),
+            pkey,
+        )
+        e_cx = _mm(cx.reshape(rows_e, g), pexp)
+        e_cy = _mm(cy.reshape(rows_e, g), pexp)
+        e_w = _mm(w_clip.reshape(rows_e, g), pexp)
+    else:
+        key = jnp.stack(key_planes, axis=1).reshape(-1)
+        e_cx, e_cy, e_w = expand(cx), expand(cy), expand(w_clip)
+
     (sorted_key, s_cx, s_cy, s_w, s_cgb) = jax.lax.sort(
-        (key, expand(cx), expand(cy), expand(w_clip), expand(cgb)),
+        (key, e_cx, e_cy, e_w, expand(cgb)),
         dimension=0, num_keys=1, is_stable=True,
     )
 
     starts = jnp.searchsorted(
-        sorted_key, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        sorted_key,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32).astype(jnp.float32),
+        side="left",
     )
     counts = starts[1:] - starts[:-1]                     # [T]
-
-    # Pixel-center coordinate planes per tile: [T, tile_px].
-    tidx = jnp.arange(num_tiles, dtype=jnp.int32)
-    base_x = (tidx % gw) * TILE_W
-    base_y = (tidx // gw) * TILE_H
-    ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    pxc = (base_x[:, None, None] + lx[None]).astype(jnp.float32) + 0.5
-    pyc = (base_y[:, None, None] + ly[None]).astype(jnp.float32) + 0.5
-    pxc = pxc.reshape(num_tiles, TILE_H * TILE_W)
-    pyc = pyc.reshape(num_tiles, TILE_H * TILE_W)
 
     # ---- exact segmented composite -----------------------------------------
     # Over-composition with a per-sprite source clamp is ASSOCIATIVE on
@@ -262,14 +300,57 @@ def _render(
     row_end = jnp.cumsum(segs).astype(jnp.int32)     # [T]
     row_start = (row_end - segs).astype(jnp.int32)
     v = jnp.arange(num_rows, dtype=jnp.int32)
-    tile_v = jnp.searchsorted(row_end, v, side="right").astype(jnp.int32)
+
+    # Virtual-row -> tile map by MERGE, not binary search: the
+    # searchsorted while-loop measured 2.4 ms/frame at 262K and its
+    # follow-up per-row gathers another ~1.6 (experiments/
+    # render_opprofile.py). row_end is sorted and distinct and v is the
+    # dense range, so ONE stable 32K sort interleaves boundary markers
+    # with the queries (marker-before-query at ties = side="right"), a
+    # cumsum of the marker flag yields tile_v, and marker-carried DELTA
+    # payloads prefix-sum to the per-tile values the old code gathered:
+    #   sum counts[t]   over markers passed = starts[tile_v]
+    #   sum counts[t+1] over markers passed = starts[tile_v+1] - starts[1]
+    #   sum segs[t]     over markers passed = row_start[tile_v]
+    # A second flag-keyed stable sort compacts the query slots back to v
+    # order. Queries carry zero deltas, so inclusive scans are exact.
+    zq = jnp.zeros((num_rows,), jnp.int32)
+    mkey = jnp.concatenate([row_end, v])
+    mflag = jnp.concatenate(
+        [jnp.ones((num_tiles,), jnp.int32), zq]
+    )
+    d_sta = jnp.concatenate([counts, zq])
+    d_end = jnp.concatenate(
+        [counts[1:], jnp.zeros((1,), jnp.int32), zq]
+    )
+    d_rs = jnp.concatenate([segs.astype(jnp.int32), zq])
+    _, sf, sd1, sd2, sd3 = jax.lax.sort(
+        (mkey, mflag, d_sta, d_end, d_rs),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    _, tile_m, s1m, s2m, s3m = jax.lax.sort(
+        (
+            sf,
+            jnp.cumsum(sf),
+            jnp.cumsum(sd1),
+            jnp.cumsum(sd2),
+            jnp.cumsum(sd3),
+        ),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+    tile_v = tile_m[:num_rows]
+    starts_v = s1m[:num_rows]
+    ends_v = s2m[:num_rows] + starts[1]
+    row_start_v = s3m[:num_rows]
+
     valid_v = v < row_end[-1]
     tile_vc = jnp.clip(tile_v, 0, num_tiles - 1)
-    seg_v = v - row_start[tile_vc]
-    j_v = j_lo[tile_vc] + seg_v                      # data row index [V]
-    lo_k = jnp.clip(starts[:-1][tile_vc] - j_v * q, 0, q)
-    hi_k = jnp.clip(ends[tile_vc] - j_v * q, 0, q)
-    hi_k = jnp.where(valid_v & (counts[tile_vc] > 0), hi_k, 0)
+    counts_v = ends_v - starts_v
+    seg_v = v - row_start_v
+    j_v = starts_v // q + seg_v                      # data row index [V]
+    lo_k = jnp.clip(starts_v - j_v * q, 0, q)
+    hi_k = jnp.clip(ends_v - j_v * q, 0, q)
+    hi_k = jnp.where(valid_v & (counts_v > 0), hi_k, 0)
 
     kk = jnp.arange(q, dtype=jnp.int32)
     # entry-valid mask built directly in the composite's [Q, V] layout
@@ -321,10 +402,10 @@ def _render(
 
         bases = jnp.stack(
             [
-                (base_x[tile_vc]).astype(jnp.float32),
-                (base_y[tile_vc]).astype(jnp.float32),
+                ((tile_vc % gw) * TILE_W).astype(jnp.float32),
+                ((tile_vc // gw) * TILE_H).astype(jnp.float32),
             ]
-        )                               # [2, V]
+        )                               # [2, V] — arithmetic, no gather
         out4 = composite_rows_pallas(
             jnp.stack(xs), bases, TILE_H, TILE_W, blend=blend
         )
@@ -333,8 +414,15 @@ def _render(
         cb_v = out4[2].T
         tv = out4[3].T
     else:
-        pxc_v = pxc[tile_vc]
-        pyc_v = pyc[tile_vc]
+        # per-row pixel-center planes, derived arithmetically
+        ly = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        lx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        pxc_v = (
+            ((tile_vc % gw) * TILE_W)[:, None] + lx.reshape(-1)[None, :]
+        ).astype(jnp.float32) + 0.5
+        pyc_v = (
+            ((tile_vc // gw) * TILE_H)[:, None] + ly.reshape(-1)[None, :]
+        ).astype(jnp.float32) + 0.5
 
         def step(carry, sprite):
             # per-channel [V, px] planes: no [V, 3, px] sublane padding
@@ -364,7 +452,12 @@ def _render(
         )
 
     # tree-combine segment rows (consecutive rows share a tile)
-    segs_v = segs[tile_vc]
+    # per-row segment count, derived elementwise from the merged prefixes
+    # (identical to segs[tile_vc] for every valid row; invalid rows get 1,
+    # which disables partner takes — their contents are never read)
+    segs_v = jnp.where(
+        counts_v > 0, (ends_v - 1) // q - starts_v // q + 1, 1
+    )
     passes = max(max_segs - 1, 0).bit_length()
     chans = [cr_v, cg_v, cb_v]
     for p in range(passes):

@@ -103,11 +103,43 @@ def _colors(position, num_particles, id_offset=0):
     return r, g, b
 
 
+_STARTS_CHUNK = 128  # on-chip sweep: 128 beat 64/32 by 0.1-0.6 ms @1M entries
+
+
+def _starts_two_level(sorted_key, num_queries, chunk=None):
+    """starts[k] = first i with sorted_key[i] >= k, for k = 0..num_queries-1.
+
+    Equivalent to jnp.searchsorted(sorted_key, arange(nq), side="left"),
+    but that lowers to a ~log2(E)-step while loop whose every step randomly
+    gathers from the FULL entry array (2.3 ms/frame at 1M entries,
+    experiments/render_opprofile.py). Two-level instead: binary-search the
+    per-chunk minima (E/chunk elements — VMEM-resident), then gather ONE
+    boundary chunk row per query (ops/rowgather lane-packing) and count its
+    entries < k. Sorted order makes the split exact: every entry before
+    chunk c* is <= cm[c*] < k, every entry after it is >= cm[c*+1] >= k.
+    Keys are integer-valued f32 (exact < 2^24), so comparisons are exact."""
+    if chunk is None:
+        chunk = _STARTS_CHUNK
+    e = sorted_key.shape[0]
+    q = jnp.arange(num_queries, dtype=jnp.int32).astype(sorted_key.dtype)
+    if not chunk or e % chunk:
+        return jnp.searchsorted(sorted_key, q, side="left").astype(jnp.int32)
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
+    cm = sorted_key[::chunk]                              # [E/chunk]
+    cstar = jnp.searchsorted(cm, q, side="left").astype(jnp.int32) - 1
+    cc = jnp.maximum(cstar, 0)                            # clip: all-minima>=k
+    rows = gather_rows(sorted_key.reshape(e // chunk, chunk), cc)
+    cnt = jnp.sum((rows < q[:, None]).astype(jnp.int32), axis=1)
+    return cc * chunk + cnt
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "seg_q", "dup_y", "dup_x", "near", "blend",
         "use_pallas_composite", "frame_uint8", "return_trans",
+        "starts_chunk",
     ),
 )
 def _render(
@@ -130,6 +162,7 @@ def _render(
     use_pallas_composite: bool = False,
     frame_uint8: bool = False,
     return_trans: bool = False,
+    starts_chunk: Optional[int] = None,  # None -> module default
 ) -> FrameOutput:
     n = position.shape[1]
     gh, gw = height // TILE_H, width // TILE_W
@@ -266,11 +299,7 @@ def _render(
         dimension=0, num_keys=1, is_stable=True,
     )
 
-    starts = jnp.searchsorted(
-        sorted_key,
-        jnp.arange(num_tiles + 1, dtype=jnp.int32).astype(jnp.float32),
-        side="left",
-    )
+    starts = _starts_two_level(sorted_key, num_tiles + 1, chunk=starts_chunk)
     counts = starts[1:] - starts[:-1]                     # [T]
 
     # ---- exact segmented composite -----------------------------------------
@@ -551,6 +580,9 @@ class Renderer:
         from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
 
         self.use_pallas_composite = pallas_supported()
+        # Two-level tile-starts search width (None = module default;
+        # 0 = plain jnp.searchsorted, kept for A/B measurement)
+        self.starts_chunk: Optional[int] = None
         # When a frame reports truncation (a sprite spans more tiles than
         # the dup window — GUI size slider up to 10 with a close camera),
         # grow dup_y/dup_x to the frame's measured max span so the NEXT
@@ -645,6 +677,7 @@ class Renderer:
             blend=self.blend,
             use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
             frame_uint8=cfg.frame_uint8,
+            starts_chunk=self.starts_chunk,
         )
 
     def _render_chunked(

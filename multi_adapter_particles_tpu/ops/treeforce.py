@@ -343,24 +343,34 @@ def near_field_tree(
     sy = jnp.where(live_flat, sy, _PARK)
     sz = jnp.where(live_flat, sz, _PARK)
 
-    # -- node AABBs (cell coords, live-masked) --------------------------------
+    # -- node AABBs (float coords, live-masked) -------------------------------
     live = live_flat.reshape(nb, block)
     any_live = jnp.any(live, axis=1)
-    cmin, cmax = [], []
+    fmin, fmax = [], []
     for s in (sx, sy, sz):
-        c = jnp.floor(s / jnp.float32(hn) + jnp.float32(gn / 2))
-        c = jnp.clip(c, 0, gn - 1).astype(jnp.int32).reshape(nb, block)
-        cmin.append(jnp.min(jnp.where(live, c, gn + 2), axis=1))
-        cmax.append(jnp.max(jnp.where(live, c, -2), axis=1))
+        sb = s.reshape(nb, block)
+        fmin.append(jnp.min(jnp.where(live, sb, jnp.float32(4e9)), axis=1))
+        fmax.append(jnp.max(jnp.where(live, sb, jnp.float32(-4e9)), axis=1))
 
-    # -- dual-tree walk, flattened: bbox adjacency -> compacted pair list ----
+    # -- dual-tree walk, flattened: AABB distance -> compacted pair list ----
+    # The short-range factor is EXACTLY zero at separations > r_c
+    # (`short_factor_cheb` clamps beyond _TC*sigma = r_c), so pruning
+    # block pairs whose AABB min distance exceeds r_c is EXACT — and
+    # strictly tighter than cell-granularity 27-adjacency, which keeps
+    # diagonal cell neighbors with a real gap > r_c and same-cell pairs
+    # of tiny far-apart Morton blocks (clustered scenes).
     m = any_live[:, None] & any_live[None, :]
+    gap2 = jnp.zeros((nb, nb), jnp.float32)
     for c in range(3):
-        m = (
-            m
-            & (cmin[c][None, :] <= cmax[c][:, None] + 1)
-            & (cmax[c][None, :] >= cmin[c][:, None] - 1)
+        g = jnp.maximum(
+            jnp.maximum(
+                fmin[c][:, None] - fmax[c][None, :],
+                fmin[c][None, :] - fmax[c][:, None],
+            ),
+            0.0,
         )
+        gap2 = gap2 + g * g
+    m = m & (gap2 <= jnp.float32(r_c) * jnp.float32(r_c))
     flat = m.reshape(nb * nb)
     total = jnp.sum(flat.astype(jnp.int32))
     p_max = pair_budget or default_pair_budget(nb)
@@ -480,22 +490,31 @@ def host_pair_budget(
             code |= ((ibc[c] >> b) & 1) << (3 * b + c)
     code[~inbox] = 1 << (3 * bits)
     order = np.argsort(code, kind="stable")
-    sib = ibc[:, order]
+    spos = pos[:, order].astype(np.float32)
     live = inbox[order]
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
-        sib = np.concatenate([sib, np.zeros((3, pad), np.int64)], axis=1)
+        spos = np.concatenate(
+            [spos, np.zeros((3, pad), np.float32)], axis=1
+        )
         live = np.concatenate([live, np.zeros(pad, bool)])
-    sib = sib.reshape(3, nb, block)
+    spos = spos.reshape(3, nb, block)
     live = live.reshape(nb, block)
     any_live = live.any(axis=1)
-    big = gn + 2
-    cmin = np.where(live[None], sib, big).min(axis=2)      # [3, nb]
-    cmax = np.where(live[None], sib, -2).max(axis=2)
+    # float-AABB distance prune — the device walk's rule (near_field_tree)
+    fmin = np.where(live[None], spos, 4e9).min(axis=2)     # [3, nb]
+    fmax = np.where(live[None], spos, -4e9).max(axis=2)
     m = any_live[:, None] & any_live[None, :]
+    gap2 = np.zeros((nb, nb), np.float32)
     for c in range(3):
-        m &= (cmin[c][None, :] <= cmax[c][:, None] + 1) & (
-            cmax[c][None, :] >= cmin[c][:, None] - 1
+        g = np.maximum(
+            np.maximum(
+                fmin[c][:, None] - fmax[c][None, :],
+                fmin[c][None, :] - fmax[c][:, None],
+            ),
+            0.0,
         )
+        gap2 += g * g
+    m &= gap2 <= np.float32(r_c) ** 2
     return int(m.sum() * headroom) + 1

@@ -435,3 +435,56 @@ class TestCameraVariationGolden:
         )
         assert np.abs(frame - golden).max() < 2e-3
         assert frame.max() > 0
+
+
+class TestStartsTwoLevel:
+    """Pin `_starts_two_level` == searchsorted(side='left') on adversarial
+    sorted-key layouts (the renderer relies on it for tile starts)."""
+
+    @staticmethod
+    def _check(keys, num_queries, chunk):
+        import jax.numpy as jnp
+
+        from multi_adapter_particles_tpu.render.renderer import (
+            _starts_two_level,
+        )
+
+        k = jnp.asarray(np.sort(np.asarray(keys, np.float32)))
+        got = np.asarray(_starts_two_level(k, num_queries, chunk=chunk))
+        want = np.searchsorted(np.asarray(k), np.arange(num_queries), "left")
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+
+    @pytest.mark.parametrize("chunk", [8, 32, 128])
+    def test_random_duplicate_heavy(self, chunk):
+        rng = np.random.default_rng(7)
+        # few distinct values over many entries: long duplicate runs that
+        # straddle chunk boundaries, plus values with zero entries
+        keys = rng.integers(0, 40, size=1024)
+        self._check(keys, 41, chunk)
+
+    @pytest.mark.parametrize("chunk", [8, 128])
+    def test_run_exactly_at_chunk_boundary(self, chunk):
+        # value v occupies exactly entries [chunk, 2*chunk): the boundary
+        # chunk's minimum equals the query
+        keys = np.concatenate([
+            np.zeros(chunk), np.full(chunk, 5.0), np.full(6 * chunk, 9.0),
+        ])
+        self._check(keys, 12, chunk)
+
+    def test_all_equal_and_extremes(self):
+        # every entry identical; queries below, at, and beyond it
+        self._check(np.full(256, 3.0), 8, 32)
+        # queries past the max key must all return E
+        self._check(np.arange(256) % 4, 10, 32)
+
+    def test_fallback_when_not_divisible(self):
+        # E % chunk != 0 routes to plain searchsorted — still exact
+        self._check(np.arange(100), 101, 32)
+
+    def test_sentinel_tail(self):
+        # renderer keys park dead entries at a large sentinel past every
+        # real tile; starts for real tiles must ignore the tail
+        keys = np.concatenate([
+            np.repeat(np.arange(16), 8), np.full(128, 4096.0),
+        ])
+        self._check(keys, 17, 32)

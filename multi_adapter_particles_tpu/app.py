@@ -242,6 +242,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         debug=extra.get("debug", False),
         fused=extra.get("fused", False),
         timer_window_every=extra.get("timer_window_every", 64),
+        # a -metrics dump with empty stage rows is useless: force the
+        # non-stalling device-clock timer on even for -nogui/preset runs
+        # (it costs one 4-frame trace window per 64 frames)
+        async_timers=True if "metrics" in extra else None,
     )
 
     if sim_cfg.force_model == "p3m" and sim_cfg.p3m_near_mode == "slots":

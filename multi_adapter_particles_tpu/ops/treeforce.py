@@ -288,6 +288,7 @@ def near_field_tree(
     block: int | None = None,
     pair_budget: int | None = None,
     pair_chunk: int | None = None,
+    sweep_slice_cap: int | None = None,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -297,6 +298,8 @@ def near_field_tree(
     counts block pairs beyond `pair_budget` (0 = nothing truncated).
     `block` None = adaptive (NB capped ~2048); `pair_chunk` None scales
     inversely with block² so a sweep chunk stays ~100 MB.
+    `sweep_slice_cap` overrides the SMEM-derived per-invocation pair cap
+    of the Pallas sweep (tests force the sliced path with a tiny cap).
     """
     n = position.shape[1]
     if block is None:
@@ -393,11 +396,17 @@ def near_field_tree(
 
     # The sweep kernel prefetches bounds [nb+1] + uint16-packed j_idx
     # [p_max/2 words] into SMEM (1 MiB/core on v5e; measured overflow at
-    # 1.05 MB of prefetched scalars). Leave headroom for Mosaic's own
-    # scalars and fall back to the XLA sweep for oversized pair lists
-    # (~>380K pairs; the packing already covers 1M-particle budgets).
-    smem_ok = 4 * (p_max // 2 + nb + 1) <= 768 * 1024
-    if pallas_supported() and block <= 512 and smem_ok:
+    # 1.05 MB of prefetched scalars). Pair lists past the SMEM roof
+    # (~380K pairs post-packing) run as MULTIPLE kernel invocations over
+    # consecutive slices of the i-major list — per-target bounds clamped
+    # to each slice, partial accelerations summed (exact by linearity of
+    # the pair sum; a target block straddling a slice boundary simply
+    # accumulates from both invocations).
+    if sweep_slice_cap is None:
+        smem_words = (768 * 1024) // 4
+        sweep_slice_cap = 2 * (smem_words - (nb + 1))
+    sweep_slice_cap = max(2, sweep_slice_cap // 2 * 2)  # even: u16 packing
+    if pallas_supported() and block <= 512:
         # VMEM sweep kernel: per target block, its neighbor sources stream
         # HBM->VMEM through a double-buffered DMA pipeline (the
         # ops/allpairs.py structure driven by the prefetched pair list).
@@ -405,10 +414,21 @@ def near_field_tree(
         # materialization, no segment sum.
         i_sent = jnp.where(skey[:p_max] == 0, i_idx, nb)  # ascending
         bounds = pm._segment_bounds(i_sent, nb)            # [nb+1]
-        acc_b = _near_sweep_pallas(
-            sx, sy, sz, bounds, j_idx, nb=nb, block=block,
-            eps2=eps2, sigma=float(sigma),
-        )
+        if p_max <= sweep_slice_cap:
+            acc_b = _near_sweep_pallas(
+                sx, sy, sz, bounds, j_idx, nb=nb, block=block,
+                eps2=eps2, sigma=float(sigma),
+            )
+        else:
+            acc_b = jnp.zeros((nb * block, 3), jnp.float32)
+            for lo in range(0, p_max, sweep_slice_cap):
+                hi = min(lo + sweep_slice_cap, p_max)
+                acc_b = acc_b + _near_sweep_pallas(
+                    sx, sy, sz,
+                    jnp.clip(bounds, lo, hi) - jnp.int32(lo),
+                    j_idx[lo:hi], nb=nb, block=block,
+                    eps2=eps2, sigma=float(sigma),
+                )
     else:
         bx = sx.reshape(nb, block)
         by = sy.reshape(nb, block)

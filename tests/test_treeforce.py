@@ -241,3 +241,35 @@ class TestPallasSweep:
             np.asarray(a_pl), np.asarray(a_xla), rtol=1e-5, atol=1e-4
         )
         assert np.abs(np.asarray(a_pl)).max() > 1e-3
+
+    def test_sliced_pair_list_matches_single_invocation(self, monkeypatch):
+        """Pair lists past the SMEM roof run as multiple kernel
+        invocations over slices of the i-major list; a tiny forced cap
+        must reproduce the single-invocation result up to fp32
+        re-association of a straddling target's partial sums (slice
+        boundaries land mid-target-block on purpose)."""
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        rng = np.random.default_rng(11)
+        n = 1024
+        pos3 = np.concatenate(
+            [
+                rng.normal(0, 60, (n // 2, 3)),
+                rng.normal(300, 60, (n // 2, 3)),
+            ]
+        ).astype(np.float32)
+        pos = aos(pos3)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        a_one, d_one = near_field_tree(pos, box, MASS, EPS2, r_c, gn,
+                                       block=128)
+        for cap in (10, 2):  # odd-ish slice counts, boundary mid-block
+            a_sl, d_sl = near_field_tree(
+                pos, box, MASS, EPS2, r_c, gn, block=128,
+                sweep_slice_cap=cap,
+            )
+            assert int(d_sl) == int(d_one) == 0
+            np.testing.assert_allclose(
+                np.asarray(a_sl), np.asarray(a_one), rtol=1e-5, atol=1e-4
+            )

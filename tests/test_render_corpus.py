@@ -70,6 +70,104 @@ class TestSliderCorpus:
         assert np.abs(frame - golden).max() < 2e-3
 
 
+class TestAdversarialCorpus:
+    """Scenes built to break tie-handling and clipping, not coverage.
+
+    Draw order is particle-ID order with NO depth test
+    (`Render.cpp:891`, one DrawInstanced call) — so coincident sprites,
+    equal-depth overlaps, and sort-key ties must all composite in id
+    order for the device renderer to stay exact vs the oracle."""
+
+    def _render_both(self, pos, cfg=None, camera=None, size=6.0,
+                     intensity=0.5):
+        cfg = cfg or RenderConfig(width=256, height=128)
+        camera = camera or cam.Camera()
+        golden = ref.render_reference(
+            pos, cfg, particle_size=size, particle_intensity=intensity,
+            camera=camera,
+        )
+        st = ParticleState.from_aos(
+            pos, np.zeros((pos.shape[0], 3), np.float32)
+        )
+        frame = np.asarray(
+            Renderer(cfg).render(st.position, camera, size, intensity)
+        )
+        return frame, golden
+
+    def test_exact_with_coincident_particles(self):
+        """Stacks of EXACT position duplicates: every sort key ties, and
+        the over-blend is order-sensitive (each sprite has a different
+        id-hash blue and accel color) — only id-stable ordering matches."""
+        rng = np.random.default_rng(7)
+        stacks = rng.uniform(-200, 200, size=(6, 3)).astype(np.float32)
+        pos = np.zeros((48, 4), dtype=np.float32)
+        pos[:, :3] = np.repeat(stacks, 8, axis=0)   # 8 sprites per point
+        pos[:, 3] = rng.uniform(0, 12, size=48).astype(np.float32)
+        frame, golden = self._render_both(pos)
+        assert np.abs(frame - golden).max() < 2e-3
+        # order sensitivity is real: reversed draw order changes the image
+        rev = ref.render_reference(
+            pos[::-1].copy(), RenderConfig(width=256, height=128),
+            particle_size=6.0, particle_intensity=0.5,
+        )
+        assert np.abs(rev - golden).max() > 1e-3
+
+    def test_exact_on_equal_depth_plane(self):
+        """All sprites share one eye-space depth (identical depth keys)
+        while overlapping across tile boundaries."""
+        xs = np.linspace(-240, 240, 9, dtype=np.float32)
+        ys = np.linspace(-120, 120, 5, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, ys)
+        n = gx.size
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, 0] = gx.ravel()
+        pos[:, 1] = gy.ravel()
+        pos[:, 2] = 0.0                              # one depth plane
+        pos[:, 3] = np.arange(n, dtype=np.float32) % 13
+        frame, golden = self._render_both(pos, size=9.0, intensity=0.8)
+        assert np.abs(frame - golden).max() < 2e-3
+
+    def test_exact_with_behind_camera_and_giant_sprites(self):
+        """Mixed clip stress: sprites behind the eye (must vanish), a
+        near-eye sprite projecting far larger than a tile (straddles
+        many tiles and the frame edge), and normal sprites — one scene."""
+        pos = np.zeros((12, 4), dtype=np.float32)
+        pos[:, 3] = np.arange(12, dtype=np.float32)
+        pos[0, :3] = (0.0, 0.0, 2000.0)      # behind the eye
+        pos[1, :3] = (300.0, 100.0, 1700.0)  # behind, off-axis
+        pos[2, :3] = (0.0, 0.0, 1400.0)      # 100 units from eye: giant
+        pos[3, :3] = (-350.0, -160.0, 1350.0)  # giant, partly off-frame
+        rng = np.random.default_rng(21)
+        pos[4:, :3] = rng.uniform(-300, 300, size=(8, 3)).astype(np.float32)
+        frame, golden = self._render_both(pos, size=8.0, intensity=0.4)
+        assert np.abs(frame - golden).max() < 2e-3
+        # the behind-eye sprites really were culled somewhere: a frame
+        # rendered with ONLY them is black
+        behind = ref.render_reference(
+            pos[:2], RenderConfig(width=256, height=128),
+            particle_size=8.0, particle_intensity=0.4,
+        )
+        assert behind.max() == 0.0
+
+    @pytest.mark.parametrize(
+        "yaw_off,pitch",
+        [(0.7, 0.0), (0.0, 0.9), (2.4, -0.8), (3.14159, 0.0)],
+    )
+    def test_exact_under_extreme_poses(self, yaw_off, pitch):
+        """Fly-cam poses far off the demo axis, incl. pitch near the
+        gimbal clamp and a yaw that faces AWAY from the cloud (frame may
+        be black — it must be black in both renderers)."""
+        import math
+
+        pos = _scene(int(yaw_off * 10 + pitch * 100) & 0x7fffffff, n=60)
+        c = cam.Camera(position=(200.0, -300.0, 1100.0))
+        c.yaw = math.pi + yaw_off
+        c.pitch = pitch
+        frame, golden = self._render_both(pos, camera=c, size=7.0,
+                                          intensity=0.6)
+        assert np.abs(frame - golden).max() < 2e-3
+
+
 class TestQuantizedPerceptual:
     def test_rgb8_frame_is_perceptually_lossless(self):
         """RGB8 quantization (frame_uint8) vs the fp32 frame: > 48 dB

@@ -83,6 +83,10 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               lambda v: extra.__setitem__("p3m_pair_budget", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
+    p.add_flag("shardrender", "with -meshdevices: shard the RENDER role "
+               "over the mesh too (image-pair gather replaces the "
+               "position copy)",
+               lambda: extra.__setitem__("shard_render", True))
     p.add_int("computeadapter", "compute adapter index",
               lambda v: extra.__setitem__("compute_adapter", v))
     p.add_int("renderadapter", "render adapter index",
@@ -241,6 +245,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_devices=extra.get("mesh_devices", 0),
         debug=extra.get("debug", False),
         fused=extra.get("fused", False),
+        shard_render=extra.get("shard_render", False),
         timer_window_every=extra.get("timer_window_every", 64),
         # a -metrics dump with empty stage rows is useless: force the
         # non-stalling device-clock timer on even for -nogui/preset runs

@@ -543,6 +543,94 @@ def _render(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "seg_q", "dup_y", "dup_x", "near",
+        "blend", "use_pallas_composite", "frame_uint8", "starts_chunk",
+    ),
+)
+def _render_mesh(
+    position: jax.Array,   # [4, Np] GLOBAL, particle-axis sharded
+    wvp: jax.Array,
+    p00: jax.Array,
+    p11: jax.Array,
+    radius: jax.Array,
+    intensity: jax.Array,
+    num_draw: jax.Array,   # GLOBAL draw count (id-prefix)
+    *,
+    mesh,
+    width: int,
+    height: int,
+    seg_q: int,
+    dup_y: int,
+    dup_x: int,
+    near: float,
+    blend: str,
+    use_pallas_composite: bool = False,
+    frame_uint8: bool = False,
+    starts_chunk: Optional[int] = None,
+) -> FrameOutput:
+    """Mesh-sharded frame: each device rasterizes its id-contiguous shard
+    to a premultiplied (color, transmittance) pair, then the pairs fold
+    through the associative over-composite in id order — the
+    `_render_chunked` fold at chunk = shard width, with the chunks living
+    on different devices instead of different dispatches. The reference
+    can only COPY all positions to its one render adapter each frame
+    (`Render.cpp:814`); here the render role itself scales over the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from multi_adapter_particles_tpu.parallel.mesh import particle_spec
+
+    names = tuple(mesh.axis_names)
+    d = int(np.prod([mesh.shape[a] for a in names]))
+    n = position.shape[1]
+    cn = n // d
+
+    def local(chunk, wvp, p00, p11, radius, intensity, num_draw):
+        # flat shard index in the slice-major order of particle_sharding
+        idx = jnp.int32(0)
+        for name in names:
+            idx = idx * mesh.shape[name] + jax.lax.axis_index(name)
+        off = idx * jnp.int32(cn)
+        nd = jnp.clip(num_draw - off, 0, cn).astype(jnp.int32)
+        out = _render(
+            chunk, wvp, p00, p11, radius, intensity, nd, off,
+            width=width, height=height, seg_q=seg_q, dup_y=dup_y,
+            dup_x=dup_x, near=near, blend=blend,
+            use_pallas_composite=use_pallas_composite,
+            return_trans=True, starts_chunk=starts_chunk,
+        )
+        return (out.frame[None], out.trans[None], out.truncated[None],
+                out.span_y[None], out.span_x[None])
+
+    lead = P(names)  # leading dim sharded over ALL mesh axes, slice-major
+    cs, ts, truncs, spans_y, spans_x = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(particle_spec(mesh), P(), P(), P(), P(), P(), P()),
+        out_specs=(lead, lead, lead, lead, lead),
+        # the body is purely per-device (the only cross-device traffic is
+        # the declared out_specs gather); _render's scan carries start
+        # from unvarying constants, which the vma check would reject
+        check_vma=False,
+    )(position, wvp, p00, p11, radius, intensity, num_draw)
+
+    # id-ordered left fold — identical association to _render_chunked
+    cf, tf = cs[0], ts[0]
+    trunc, sy, sx = truncs[0], spans_y[0], spans_x[0]
+    for i in range(1, d):
+        cf = cs[i] + cf * ts[i][..., None]
+        tf = tf * ts[i]
+        trunc = trunc + truncs[i]
+        sy = jnp.maximum(sy, spans_y[i])
+        sx = jnp.maximum(sx, spans_x[i])
+    frame = jnp.clip(cf, 0.0, 1.0)
+    if frame_uint8:
+        frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
+    return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
+
+
 class Renderer:
     """Headless splat renderer with reference semantics.
 
@@ -668,6 +756,67 @@ class Renderer:
         return _render(
             position,
             *self._arg_dev,
+            width=cfg.width,
+            height=cfg.height,
+            seg_q=q,
+            dup_y=self.dup_y,
+            dup_x=self.dup_x,
+            near=cfg.near,
+            blend=self.blend,
+            use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
+            frame_uint8=cfg.frame_uint8,
+            starts_chunk=self.starts_chunk,
+        )
+
+    def render_mesh(
+        self,
+        position: jax.Array,
+        camera: Camera,
+        particle_size: float,
+        particle_intensity: float,
+        mesh,
+        num_draw: Optional[int] = None,
+        seg_q: Optional[int] = None,
+    ) -> FrameOutput:
+        """Mesh-sharded frame (see `_render_mesh`): the particle axis is
+        split over the mesh, every device rasterizes its own shard, and
+        one gather of (color, transmittance) image pairs replaces the
+        reference's full-position copy to the render adapter
+        (`Render.cpp:814`) — frame traffic is O(pixels x devices),
+        independent of N. Exact at any depth: the per-shard results fold
+        with the same association as `_render_chunked` at
+        chunk = N / num_devices, so the chunked single-device frame is
+        reproduced to ~1 ULP at a matching partition (only compiler
+        fusion choices differ)."""
+        cfg = self.config
+        n = position.shape[1]
+        d = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if n % (d * 128):
+            raise ValueError(
+                f"render_mesh needs the padded particle count ({n}) "
+                f"divisible by devices x lanes ({d} x 128); pad the state "
+                "(models/state.py pads to 128 lanes — choose a mesh whose "
+                "size divides the lane count)"
+            )
+        cn = n // d
+        self._last_n = n
+        self._last_sort_n = cn
+        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near,
+                                        cfg.far)
+        wvp = camera.world_view_projection(
+            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
+        )
+        q = self.resolve_seg_q(cn, seg_q)
+        nd = int(n if num_draw is None else num_draw)
+        return _render_mesh(
+            position,
+            jnp.asarray(wvp),
+            jnp.float32(abs(proj[0, 0])),
+            jnp.float32(abs(proj[1, 1])),
+            jnp.float32(particle_size),
+            jnp.float32(particle_intensity),
+            jnp.int32(nd),
+            mesh=mesh,
             width=cfg.width,
             height=cfg.height,
             seg_q=q,

@@ -45,10 +45,16 @@ class ParticlesApp:
         fused: bool = False,
         async_timers: Optional[bool] = None,
         timer_window_every: int = 64,
+        shard_render: bool = False,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many
         devices (sharded sim + ring force exchange) — the multi-adapter
         split scaled out; 0/1 = single-device compute engine.
+        `shard_render` additionally shards the RENDER role over the same
+        mesh (renderer.render_mesh): each device rasterizes its particle
+        shard and only (color, transmittance) image pairs cross devices —
+        O(pixels) frame traffic instead of the reference's O(N) position
+        copy (`Render.cpp:814`).
 
         `debug` enables the validation layer (D3D12 debug-layer analog):
         donation off, per-frame finiteness + hand-off checks."""
@@ -61,6 +67,7 @@ class ParticlesApp:
         self.seed = seed
         # SPACE-toggle analog (`Main-Particles.cpp:83-88`).
         self.draw_enabled = draw_enabled
+        self.shard_render = shard_render
         # Every K frames, time sim/render with a hard sync (precise but
         # pipeline-perturbing); 0 = never. The non-stalling default timing
         # path is the AsyncStageProbe below.
@@ -174,13 +181,21 @@ class ParticlesApp:
         self._display_positions = self.compute.positions
         if self.mesh_devices > 1:
             self.async_mode = False
+            sharded_render = self.shard_render and isinstance(
+                self.render, RenderEngine
+            )
+            if sharded_render:
+                self.render.mesh = self.compute.mesh
             self.metrics.gauge(
                 "mode_banner",
                 f"Multi-Chip Mesh Compute ({self.mesh_devices} devices)"
-                " + render consume",
+                + (" + sharded render" if sharded_render
+                   else " + render consume"),
             )
             self.metrics.gauge("mesh", f"{self.mesh_devices}x1 particles-axis")
         else:
+            if isinstance(self.render, RenderEngine):
+                self.render.mesh = None  # rescale to 1 device: gather path
             self.async_mode = (
                 self.compute_adapter.device == self.render_adapter.device
             )

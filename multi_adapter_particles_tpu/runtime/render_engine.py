@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multi_adapter_particles_tpu.config import AppConfig, RenderConfig
 from multi_adapter_particles_tpu.render.camera import Camera
@@ -65,6 +66,10 @@ class RenderEngine:
         self._local_owned = False
         self._frame: Optional[FrameOutput] = None
         self.frame_count = 0
+        # When set (orchestrator, -shardrender), frames render sharded
+        # over this mesh: no position copy; per-device (C, T) image pairs
+        # are the only cross-device traffic (renderer.render_mesh).
+        self.mesh = None
 
     # -- copy stage (the copy-queue analog) -------------------------------------
     def copy_simulation_results(
@@ -120,6 +125,25 @@ class RenderEngine:
     ) -> FrameOutput:
         """Record + dispatch one frame (async). The reference's
         `Render::Draw` (`Render.cpp:839-935`) minus the OS present."""
+        n = shared_positions.shape[1]
+        if self.mesh is not None and (num_copy is None or num_copy >= n):
+            # Sharded render: shards rasterize in place; the copy stage is
+            # replaced by the (C, T) image-pair gather. A num_copy below N
+            # (the stale-tail decoupling knob) needs the local-buffer
+            # semantics — it falls through to the gather path below.
+            self._frame = self.renderer.render_mesh(
+                shared_positions,
+                self.camera,
+                particle_size=app.particle_size,
+                particle_intensity=app.particle_intensity,
+                mesh=self.mesh,
+                num_draw=num_draw,
+            )
+            d = int(np.prod(list(self.mesh.shape.values())))
+            h, w = self.config.height, self.config.width
+            self.metrics.count("transfer_bytes", float(d * h * w * 16))
+            self.frame_count += 1
+            return self._frame
         local = self.copy_simulation_results(shared_positions, num_copy)
         self._frame = self.renderer.render_arrays(
             local,

@@ -628,6 +628,14 @@ def _render_mesh(
     frame = jnp.clip(cf, 0.0, 1.0)
     if frame_uint8:
         frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
+    # replicate the folded outputs: on a multi-process mesh this is what
+    # makes the frame readable on EVERY host (present/dashboard), and on
+    # one process it pins the gather the fold implies anyway
+    rep = jax.sharding.NamedSharding(mesh, P())
+    frame, trunc, sy, sx = (
+        jax.lax.with_sharding_constraint(x, rep)
+        for x in (frame, trunc, sy, sx)
+    )
     return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
 
 

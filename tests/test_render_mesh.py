@@ -168,6 +168,52 @@ class TestRenderMesh:
         assert tb_sh == 3 * 8 * 256 * 128 * 16
         assert tb_ga == 3 * N * 16
 
+    def test_shard_render_survives_elastic_rescale(self, eight_devices):
+        """Live mesh rescale (8 -> 2 -> 1 devices) with -shardrender: the
+        render path follows the mesh (sharded at 8 and 2, gather at 1)
+        and the final frame matches a never-sharded run bitwise-stable
+        trajectory + fp32-close render."""
+        from multi_adapter_particles_tpu.config import AppConfig, SimConfig
+        from multi_adapter_particles_tpu.runtime.orchestrator import (
+            ParticlesApp,
+        )
+
+        def make(mesh_devices, shard_render):
+            return ParticlesApp(
+                AppConfig(num_particles=N, gui=False, vsync=False),
+                SimConfig(num_particles=N),
+                RenderConfig(width=128, height=64),
+                seed=6,
+                mesh_devices=mesh_devices,
+                shard_render=shard_render,
+            )
+
+        app = make(8, True)
+        assert "sharded render" in app.metrics.gauges["mode_banner"]
+        for _ in range(2):
+            app.draw()
+        app.set_mesh_devices(2)
+        assert app.render.mesh is not None
+        for _ in range(2):
+            app.draw()
+        app.set_mesh_devices(1)
+        assert app.render.mesh is None  # back to the gather/zero-copy path
+        for _ in range(2):
+            app.draw()
+        app.compute.wait_for_gpu()
+        app.render.present()
+        frame = np.asarray(app.render.last_frame)
+        app.shutdown()
+
+        ref = make(0, False)
+        for _ in range(6):
+            ref.draw()
+        ref.compute.wait_for_gpu()
+        ref.render.present()
+        ref_frame = np.asarray(ref.render.last_frame)
+        ref.shutdown()
+        np.testing.assert_allclose(frame, ref_frame, atol=2e-3)
+
     def test_cli_flag_end_to_end(self, tmp_path, eight_devices):
         import json
 

@@ -40,6 +40,7 @@ PM_R1_MS = 553.0                       # round-1 measured 4M @G=128
 EXACT_262K_MS = 371.0                  # Pallas all-pairs on the 262K demo
 #                                        scene (the reference's only exact
 #                                        mode) — tree-P3M's bar to beat
+EXACT_1M_MS = 5719.0                   # same bar at 1M (README table)
 
 N_KERNEL = 1_048_576
 N_FRAME = 262_144
@@ -227,11 +228,13 @@ def _bench_pm(jax, n: int, grid: int, steps: int) -> dict:
     }
 
 
-def _bench_tree(jax, n: int, grid: int, reps: int) -> dict:
+def _bench_tree(jax, n: int, grid: int, reps: int,
+                exact_ms: float = EXACT_262K_MS) -> dict:
     """Tree-P3M exactness mode on the demo init (VERDICT r2 #2): <1% RMS
     on ANY scene at a fraction of the exact all-pairs cost. Baseline:
-    371 ms = the optimized Pallas all-pairs kernel on the same 262K scene
-    (vs_baseline >1 = cheaper than the reference's only exact mode)."""
+    the optimized Pallas all-pairs kernel on the same scene — 371 ms
+    @262K, 5719 ms @1M (vs_baseline >1 = cheaper than the reference's
+    only exact mode)."""
     import numpy as np
 
     from multi_adapter_particles_tpu.models import init as pinit
@@ -265,7 +268,7 @@ def _bench_tree(jax, n: int, grid: int, reps: int) -> dict:
         "metric": f"tree-P3M accel ms @ {n} particles (demo scene), G={grid}",
         "value": ms,
         "unit": "ms/accel",
-        "vs_baseline": EXACT_262K_MS / ms,
+        "vs_baseline": exact_ms / ms,
         "dropped_pairs": int(dropped),
     }
 
@@ -306,6 +309,11 @@ def main() -> int:
         ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
         ("tree", lambda: _bench_tree(
             jax, n_frame, 128 if on_tpu else 16, 5 if on_tpu else 2)),
+        # the 1M scaling point: grid optimum shifts with N (ROADMAP) —
+        # G=192 at 1M; baseline = the exact Pallas kernel on that scene
+        ("tree-1m", lambda: _bench_tree(
+            jax, n_kernel, 192 if on_tpu else 16, 3 if on_tpu else 2,
+            exact_ms=EXACT_1M_MS)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
         ("frame", lambda: _bench_frame(

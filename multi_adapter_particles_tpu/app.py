@@ -64,7 +64,8 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                 "self-gravity models, keeping the total mass at the "
                 "central-well value; 1.0 for central_well)",
                 lambda v: extra.__setitem__("interaction_scale", v))
-    p.add_int("pmgrid", "pm_grid/p3m mesh resolution per axis",
+    p.add_int("pmgrid", "pm_grid/p3m mesh resolution per axis (omit with "
+              "-p3mnear tree: a scene-probed cost model picks it)",
               lambda v: extra.__setitem__("pm_grid_size", v))
     p.add_float("pmbox", "pm_grid/p3m box extent (world units)",
                 lambda v: extra.__setitem__("pm_box", v))
@@ -200,6 +201,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ),
                 flush=True,
             )
+        if near_mode == "tree" and "pm_grid_size" not in extra:
+            # no explicit -pmgrid: pick the mesh from the measured cost
+            # model (the optimum shifts with the scene/N — 128 @262K but
+            # 192 @1M on the demo init; ops/treeforce.py auto_grid)
+            from multi_adapter_particles_tpu.ops.treeforce import auto_grid
+
+            grid = auto_grid(pos0, box, cutoff)
+            extra["pm_grid_size"] = grid
+            print(f"p3m: tree grid auto-selected G={grid} "
+                  "(scene-probed cost model; override with -pmgrid)",
+                  flush=True)
         if near_mode == "tree" and pair_budget is None:
             r_c = cutoff * box / grid
             gn = max(int(box // r_c), 1)

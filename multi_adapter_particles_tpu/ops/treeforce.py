@@ -492,6 +492,20 @@ def host_pair_budget(
     instead of the density-free default (the demo shell at G=64 needs
     ~210 pairs/block where the default budgets 64; a truncated budget
     silently costs accuracy, counted in `dropped_pairs`)."""
+    count, _ = host_block_pairs(position, box, r_c, near_grid, block)
+    return int(count * headroom) + 1
+
+
+def host_block_pairs(
+    position,
+    box: float,
+    r_c: float,
+    near_grid: int,
+    block: int | None = None,
+):
+    """Host-side block-pair count under the device walk's exact pruning
+    rule -> (count, block). The budget and the auto-grid cost model both
+    consume this."""
     import numpy as np
 
     gn = near_grid
@@ -537,4 +551,65 @@ def host_pair_budget(
         )
         gap2 += g * g
     m &= gap2 <= np.float32(r_c) ** 2
-    return int(m.sum() * headroom) + 1
+    return int(m.sum()), block
+
+
+# Auto-grid cost model, calibrated on v5e fp32 (2026-08-17) against the
+# measured grid sweeps on the two-cluster demo init at 262K and 1M
+# (ROADMAP: "the grid optimum shifts with N"):
+#   accel_ms ~= _COST_PER_PAIR * pair_interactions
+#             + _COST_FAR * G^3 * log2(G)          (FFT far field + grids)
+#             + _COST_PER_N * N                    (sort/adjacency/gathers)
+# Least-squares over the 9 measured (N, G) points reproduces each within
+# ~16% worst-case (~6% typical; radix-5 G=160 and G=96 under-modeled —
+# the ladder below keeps to 2^a*3^b sizes). The measured optima are
+# G=128 @262K (G=96 measured 14% slower than G=128 despite a lower
+# modeled cost) and G=192 @1M; the band tie-break below recovers both.
+# Absolute times are chip-specific; only the RANKING matters and it is
+# driven by scene pair count vs the G^3 far field — roughly portable.
+_COST_PER_PAIR = 1.374e-8
+_COST_FAR = 3.911e-6
+_COST_PER_N = 4.316e-5
+_COST_BAND = 1.2
+
+AUTO_GRID_LADDER = (64, 96, 128, 192, 256, 384, 512)
+
+
+def auto_grid(
+    position,
+    box: float,
+    cutoff_cells: float,
+    candidates=AUTO_GRID_LADDER,
+) -> int:
+    """Pick the mesh size minimizing the modeled tree-P3M accel time.
+
+    Probes the ACTUAL scene: per candidate G the host block-pair count
+    (the same exact pruning rule the device walk uses) prices the near
+    sweep, against the G^3 log G far field. The optimum shifts with the
+    scene and N — measured 128 @262K but 192 @1M on the demo init — so a
+    fixed default is wrong somewhere; this replaces it with the measured
+    cost model above.
+
+    Tie-break: among candidates within _COST_BAND of the minimum modeled
+    cost, take the LARGEST grid. Within model noise the larger grid is
+    the safer bet — its cost is dominated by the exactly-known far-field
+    term, while the pair term can only grow as the scene clusters over
+    time; the rule also matches the measured 262K call (96 vs 128 model
+    costs within 8%, 128 measured 14% faster).
+    """
+    import numpy as np
+
+    n = np.asarray(position).shape[1]
+    costs = {}
+    for g in candidates:
+        r_c = cutoff_cells * box / g
+        gn = max(int(box // r_c), 1)
+        count, block = host_block_pairs(position, box, r_c, gn)
+        pairs = float(count) * block * block
+        costs[g] = (
+            _COST_PER_PAIR * pairs
+            + _COST_FAR * g ** 3 * np.log2(g)
+            + _COST_PER_N * n
+        )
+    cmin = min(costs.values())
+    return int(max(g for g, c in costs.items() if c <= _COST_BAND * cmin))

@@ -111,6 +111,29 @@ def test_preset_extra_keys_are_consumed():
         assert app.num_particles > 0
 
 
+def test_tree_grid_auto_selected(capsys):
+    """-force p3m -p3mnear tree with no -pmgrid: the scene-probed cost
+    model picks the mesh (ops/treeforce.auto_grid); an explicit -pmgrid
+    always wins."""
+    rc = run([
+        "-numparticles", "4096", "-steps", "1", "-novsync", "-nogui",
+        "-width", "128", "-height", "128", "-force", "p3m",
+        "-p3mnear", "tree",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tree grid auto-selected G=" in out
+
+    rc = run([
+        "-numparticles", "4096", "-steps", "1", "-novsync", "-nogui",
+        "-width", "128", "-height", "128", "-force", "p3m",
+        "-p3mnear", "tree", "-pmgrid", "32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto-selected" not in out
+
+
 def test_metrics_dump_enables_stage_timer(tmp_path, monkeypatch):
     """-metrics must force the device-clock stage timer on even for
     -nogui/preset runs (async_timers defaults to gui-only): a shipped

@@ -214,6 +214,51 @@ class TestChebFactor:
             assert np.all(np.asarray(beyond) == 0.0)
 
 
+class TestAutoGrid:
+    """auto_grid must reproduce the MEASURED grid optima on the demo
+    init (on-chip sweeps, ROADMAP): G=128 at 262K, G=192 at 1M. These
+    pin the calibrated cost model against ground truth — if the model
+    constants drift, these fail before a user pays a 2x step time."""
+
+    @pytest.mark.parametrize("n,expected", [(262_144, 128), (1_048_576, 192)])
+    def test_matches_measured_optimum(self, n, expected):
+        from multi_adapter_particles_tpu.models import init as pinit
+        from multi_adapter_particles_tpu.ops.treeforce import auto_grid
+
+        pos = pinit.initialize_particles_host(n, seed=42).position
+        assert auto_grid(pos, 2048.0, 6.75) == expected
+
+    def test_uniform_scene_prefers_smaller_grid_than_clusters(self):
+        """A uniform scene has far fewer near pairs per cell, so the
+        far-field term dominates earlier -> smaller optimum than the
+        same-N two-cluster demo init."""
+        from multi_adapter_particles_tpu.models import init as pinit
+        from multi_adapter_particles_tpu.ops.treeforce import auto_grid
+
+        n = 262_144
+        rng = np.random.default_rng(0)
+        uniform = np.full((4, n), 1e9, np.float32)
+        uniform[:3] = rng.uniform(-900, 900, (3, n)).astype(np.float32)
+        demo = pinit.initialize_particles_host(n, seed=42).position
+        g_uni = auto_grid(uniform, 2048.0, 6.75)
+        g_demo = auto_grid(demo, 2048.0, 6.75)
+        assert g_uni <= g_demo
+
+    def test_budget_consumes_shared_probe(self):
+        """host_pair_budget is the probe count x headroom + 1."""
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            host_block_pairs,
+            host_pair_budget,
+        )
+
+        rng = np.random.default_rng(3)
+        pos = np.zeros((4, 4096), np.float32)
+        pos[:3] = rng.normal(0, 80, (3, 4096)).astype(np.float32)
+        count, block = host_block_pairs(pos, 2048.0, 216.0, 9)
+        assert count > 0 and block >= 128
+        assert host_pair_budget(pos, 2048.0, 216.0, 9) == int(count * 1.25) + 1
+
+
 class TestPallasSweep:
     def test_kernel_matches_xla_sweep(self, monkeypatch):
         """The VMEM sweep kernel (interpret mode on CPU) == the XLA

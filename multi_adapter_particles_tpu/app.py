@@ -180,12 +180,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             host_pair_budget,
         )
 
+        import numpy as np
+
         grid = extra.get("pm_grid_size", SimConfig.pm_grid_size)
         box = extra.get("pm_box", SimConfig.pm_box)
         cutoff = extra.get("p3m_cutoff_cells", SimConfig.p3m_cutoff_cells)
-        pos0 = pinit.initialize_particles_host(
-            app_cfg.num_particles, seed=extra.get("seed", 0)
-        ).position  # [4, Np]; padding parked at 1e9 = out-of-box, ignored
+        # Probe the DEVICE init: it is the scene the engines actually
+        # start from (same seed), and it is compiled — the host oracle
+        # tiers are per-particle Python (~130 us/particle: 9 min at 4M,
+        # measured) and draw a DIFFERENT stream anyway.
+        pos0 = np.asarray(
+            pinit.initialize_particles_device(
+                app_cfg.num_particles, seed=extra.get("seed", 0)
+            ).position
+        )  # [4, Np]; padding parked at 1e9 = out-of-box, ignored
         if near_mode == "auto":
             ov = host_overflow_count(
                 pos0, grid, box, cutoff,

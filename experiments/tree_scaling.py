@@ -1,0 +1,129 @@
+"""Tree-P³M grid sweep at scale — the auto_grid calibration harness.
+
+Measures, on the real chip, tree-mode accel time across mesh sizes on the
+two-cluster demo init (the scene whose cluster cores overflow every
+static slot capacity). These runs calibrated the `ops/treeforce.py`
+auto-grid cost model and pinned its tie-break.
+
+Recorded (v5e fp32, 2026-08-17; ms/accel, RMS vs exact, 0 dropped pairs
+everywhere):
+
+    n=262144:  G=96 138.9 | G=128 121.9 (0.080%) | G=160 205.6 (0.075%)
+               G=192 282.5 (0.076%) | G=256 563.9 (0.080%)
+    n=1048576: G=64 2964.1 (0.116%) | G=128 883.9 (0.083%)
+               G=192 688.7 (0.077%) | G=256 881.9 (0.079%)
+    exact reference: XLA all-pairs 7574 ms @1M (Pallas kernel: 5719);
+    pm_grid @1M: G=64 25.9 ms (3.4% RMS), G=128 54.9 ms (2.4%)
+
+Findings (ROADMAP "PM force model" section):
+- the grid optimum shifts with N: near-pair work ~N²/G³ vs far field
+  ~G³logG — G=128 is optimal at 262K, G=192 at 1M;
+- the fitted 3-term cost model ranks configs within ~16% worst case but
+  under-prices G=96 @262K (modeled cheaper than G=128, measured 14%
+  slower) — hence auto_grid's prefer-larger tie-break within the 20%
+  model-noise band;
+- the sliced Pallas sweep handles G=64@1M's 1.01M-pair list (2.96 s).
+
+Run DETACHED: nohup python experiments/tree_scaling.py [N] > log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+GRIDS = (96, 128, 160, 192, 256)
+
+
+def main():
+    from multi_adapter_particles_tpu.models import init as pinit, integrator
+    from multi_adapter_particles_tpu.ops import p3m
+    from multi_adapter_particles_tpu.ops.treeforce import (
+        auto_grid,
+        host_pair_budget,
+    )
+    from multi_adapter_particles_tpu.utils.timers import sync
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    print(f"backend={jax.default_backend()} n={n}", flush=True)
+    state = pinit.initialize_particles_device(n, seed=42)
+    sync(state.position)
+    pos = state.position
+    pos_host = np.asarray(pos)
+
+    print(f"auto_grid pick: {auto_grid(pos_host, 2048.0, 6.75)}", flush=True)
+
+    if n <= 2_000_000:
+        t0 = time.perf_counter()
+        a_exact = integrator.all_pairs_accel(
+            pos, mass=70000.0, softening_squared=25.0, interaction_scale=1.0
+        )
+        sync(a_exact)
+        print(f"exact accel compile+run: {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        a_ex = np.asarray(a_exact)
+        idx = np.arange(n)
+        del a_exact
+    else:
+        # Subsampled exact reference: K random targets vs ALL sources.
+        # The FULL exact step at 4M is a single ~90 s dispatch, which
+        # crashed the TPU worker over the tunnel (2026-08-17) — never
+        # issue it; the subsample costs <1 s and estimates RMS fine.
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        idx = np.sort(rng.choice(n, 4096, replace=False))
+        t0 = time.perf_counter()
+        a_sub = integrator.all_pairs_accel(
+            jnp.asarray(pos_host[:, idx]), mass=70000.0,
+            softening_squared=25.0, interaction_scale=1.0,
+            sources=pos, j_tile=4096,
+        )
+        sync(a_sub)
+        print(f"subsample exact (4096 targets): "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
+        a_ex = np.asarray(a_sub)
+    scale = np.abs(a_ex).max()
+
+    for grid in GRIDS:
+        try:
+            r_c = 6.75 * 2048.0 / grid
+            gn = max(int(2048.0 // r_c), 1)
+            budget = host_pair_budget(pos_host, 2048.0, r_c, gn)
+            t0 = time.perf_counter()
+            acc, dropped = p3m.p3m_accel_with_overflow(
+                pos, grid=grid, box=2048.0, g_const=70000.0,
+                softening_squared=25.0, near_mode="tree",
+                pair_budget=budget,
+            )
+            sync(acc)
+            compile_s = time.perf_counter() - t0
+            reps = 5 if n <= 2_000_000 else 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                acc, dropped = p3m.p3m_accel_with_overflow(
+                    pos, grid=grid, box=2048.0, g_const=70000.0,
+                    softening_squared=25.0, near_mode="tree",
+                    pair_budget=budget,
+                )
+            sync(acc)
+            ms = (time.perf_counter() - t0) * 1000.0 / reps
+            a = np.asarray(acc)[:, idx]
+            rms = float(np.sqrt(np.mean((a - a_ex) ** 2)) / scale)
+            print(
+                f"G={grid}: {ms:.1f} ms/accel (compile {compile_s:.0f}s, "
+                f"budget {budget}), rms={rms:.5f}, dropped={int(dropped)}",
+                flush=True,
+            )
+            del acc, a
+        except Exception as ex:  # noqa: BLE001 — keep the sweep going
+            print(f"G={grid} FAILED {type(ex).__name__}: {ex}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

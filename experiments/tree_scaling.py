@@ -49,6 +49,7 @@ def main():
     from multi_adapter_particles_tpu.utils.timers import sync
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+    grids = tuple(int(g) for g in sys.argv[2:]) or GRIDS
     print(f"backend={jax.default_backend()} n={n}", flush=True)
     state = pinit.initialize_particles_device(n, seed=42)
     sync(state.position)
@@ -89,7 +90,7 @@ def main():
         a_ex = np.asarray(a_sub)
     scale = np.abs(a_ex).max()
 
-    for grid in GRIDS:
+    for grid in grids:
         try:
             r_c = 6.75 * 2048.0 / grid
             gn = max(int(2048.0 // r_c), 1)

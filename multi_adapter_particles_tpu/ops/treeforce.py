@@ -126,6 +126,12 @@ def short_factor_cheb(d2, eps2, sigma):
 # iteration after its compute (the dense kernel's reuse discipline).
 _RING = 8
 
+# Widest target/source block the VMEM sweep takes directly: the kernel's
+# [B, B] pair planes are B²·4 bytes a piece (512 -> 1 MiB; 2048 would be
+# 16 MiB — past VMEM). Wider tree blocks are sub-block-split for the
+# sweep (see near_field_tree).
+_SWEEP_MAX_BLOCK = 512
+
 
 def _sweep_kernel(
     bounds_ref,   # SMEM [nb+1] int32 (prefetch): per-target pair-list range
@@ -151,7 +157,8 @@ def _sweep_kernel(
     def dma(slot, t):
         # j_idx rides SMEM as two uint16 halves per int32 word (doubles
         # the pair-list capacity under the 1 MiB SMEM roof; block ids
-        # are < 2^15 by the nb<=2048 adaptive-block cap)
+        # fit uint16 — the nb<=2048 adaptive cap, and sub-block
+        # expansion guards sweep_nb < 2^16)
         word = jidx_ref[t >> 1]
         j = jax.lax.shift_right_logical(
             word, (t & 1) * 16
@@ -406,27 +413,60 @@ def near_field_tree(
         smem_words = (768 * 1024) // 4
         sweep_slice_cap = 2 * (smem_words - (nb + 1))
     sweep_slice_cap = max(2, sweep_slice_cap // 2 * 2)  # even: u16 packing
-    if pallas_supported() and block <= 512:
+    if pallas_supported():
         # VMEM sweep kernel: per target block, its neighbor sources stream
         # HBM->VMEM through a double-buffered DMA pipeline (the
         # ops/allpairs.py structure driven by the prefetched pair list).
         # Per-target accumulation happens in registers — no [P, B, 3]
         # materialization, no segment sum.
-        i_sent = jnp.where(skey[:p_max] == 0, i_idx, nb)  # ascending
-        bounds = pm._segment_bounds(i_sent, nb)            # [nb+1]
-        if p_max <= sweep_slice_cap:
+        #
+        # Blocks wider than _SWEEP_MAX_BLOCK (the adjacency walk caps NB
+        # at ~2048, so multi-million-N scenes get block >= 1024 whose
+        # [B, B] pair planes would blow VMEM) are SPLIT for the sweep
+        # only: each listed block pair expands to split² sub-block pairs
+        # — exact by linearity of the pair sum — re-sorted i-major, and
+        # swept at sub-block width. One ~(split²·P)-entry sort; the pair
+        # interaction count is unchanged.
+        sweep_block, sweep_nb = block, nb
+        sweep_i = jnp.where(skey[:p_max] == 0, i_idx, nb)  # ascending
+        sweep_j = j_idx
+        if block > _SWEEP_MAX_BLOCK:
+            split = block // _SWEEP_MAX_BLOCK
+            sweep_block = _SWEEP_MAX_BLOCK
+            sweep_nb = nb * split
+            if sweep_nb >= 1 << 16:
+                raise ValueError(
+                    f"sub-block expansion needs {sweep_nb} block ids; the "
+                    "uint16-packed pair list caps at 65535"
+                )
+            a_off = jnp.arange(split, dtype=jnp.int32)
+            i_s = jnp.where(
+                (skey[:p_max] == 0)[:, None],
+                i_idx[:, None] * split + a_off[None, :],
+                sweep_nb,
+            )                                              # [P, split]
+            j_s = j_idx[:, None] * split + a_off[None, :]  # [P, split]
+            shape = (p_max, split, split)
+            i_e = jnp.broadcast_to(i_s[:, :, None], shape).reshape(-1)
+            j_e = jnp.broadcast_to(j_s[:, None, :], shape).reshape(-1)
+            sweep_i, sweep_j = jax.lax.sort(
+                (i_e, j_e), dimension=0, num_keys=1, is_stable=True
+            )
+        p_sweep = int(sweep_j.shape[0])
+        bounds = pm._segment_bounds(sweep_i, sweep_nb)     # [sweep_nb+1]
+        if p_sweep <= sweep_slice_cap:
             acc_b = _near_sweep_pallas(
-                sx, sy, sz, bounds, j_idx, nb=nb, block=block,
+                sx, sy, sz, bounds, sweep_j, nb=sweep_nb, block=sweep_block,
                 eps2=eps2, sigma=float(sigma),
             )
         else:
             acc_b = jnp.zeros((nb * block, 3), jnp.float32)
-            for lo in range(0, p_max, sweep_slice_cap):
-                hi = min(lo + sweep_slice_cap, p_max)
+            for lo in range(0, p_sweep, sweep_slice_cap):
+                hi = min(lo + sweep_slice_cap, p_sweep)
                 acc_b = acc_b + _near_sweep_pallas(
                     sx, sy, sz,
                     jnp.clip(bounds, lo, hi) - jnp.int32(lo),
-                    j_idx[lo:hi], nb=nb, block=block,
+                    sweep_j[lo:hi], nb=sweep_nb, block=sweep_block,
                     eps2=eps2, sigma=float(sigma),
                 )
     else:
@@ -456,19 +496,30 @@ def near_field_tree(
                 axis=-1,
             )                                     # [pc, B, 3]
 
-        pair_f = jax.lax.map(
-            chunk_body,
+        # scan accumulates chunk results straight into the per-target
+        # buffer — the stacked [P, B, 3] of a lax.map would be gigabytes
+        # at multi-million N (and pads its trailing 3 to a full lane tile)
+        def chunk_step(acc, args):
+            ii = args[0]
+            f = chunk_body(args).reshape(pc, block * 3)
+            return (
+                acc
+                + jax.ops.segment_sum(
+                    f, ii, num_segments=nb, indices_are_sorted=True
+                ),
+                None,
+            )
+
+        acc_b, _ = jax.lax.scan(
+            chunk_step,
+            jnp.zeros((nb, block * 3), jnp.float32),
             (
                 i_idx.reshape(n_chunks, pc),
                 j_idx.reshape(n_chunks, pc),
                 valid.reshape(n_chunks, pc),
             ),
-        ).reshape(p_max, block * 3)
-
-        # i-major pair list -> per-target-block sums (sorted segment sum)
-        acc_b = jax.ops.segment_sum(
-            pair_f, i_idx, num_segments=nb, indices_are_sorted=True
-        ).reshape(nb * block, 3)
+        )
+        acc_b = acc_b.reshape(nb * block, 3)
 
     # -- un-sort to particle order (payload sort, not a scatter) -------------
     _, fx, fy, fz = jax.lax.sort(

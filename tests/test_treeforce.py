@@ -318,3 +318,39 @@ class TestPallasSweep:
             np.testing.assert_allclose(
                 np.asarray(a_sl), np.asarray(a_one), rtol=1e-5, atol=1e-4
             )
+
+    def test_subblock_expansion_matches_direct(self, monkeypatch):
+        """Blocks wider than the sweep cap are split into sub-block pairs
+        (exact by linearity): forcing a tiny cap must reproduce the direct
+        sweep up to fp32 re-association, with and without slicing."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        rng = np.random.default_rng(13)
+        n = 1024
+        pos3 = np.concatenate(
+            [
+                rng.normal(0, 60, (n // 2, 3)),
+                rng.normal(300, 60, (n // 2, 3)),
+            ]
+        ).astype(np.float32)
+        pos = aos(pos3)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        a_dir, d_dir = near_field_tree(pos, box, MASS, EPS2, r_c, gn,
+                                       block=128)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        a_sub, d_sub = near_field_tree(pos, box, MASS, EPS2, r_c, gn,
+                                       block=128)
+        assert int(d_dir) == int(d_sub) == 0
+        np.testing.assert_allclose(
+            np.asarray(a_sub), np.asarray(a_dir), rtol=2e-4, atol=1e-3
+        )
+        # expansion composed with SMEM slicing (boundaries mid-sub-list)
+        a_sl, d_sl = near_field_tree(
+            pos, box, MASS, EPS2, r_c, gn, block=128, sweep_slice_cap=10,
+        )
+        assert int(d_sl) == 0
+        np.testing.assert_allclose(
+            np.asarray(a_sl), np.asarray(a_dir), rtol=2e-4, atol=1e-3
+        )

@@ -449,6 +449,33 @@ def near_field_tree(
             shape = (p_max, split, split)
             i_e = jnp.broadcast_to(i_s[:, :, None], shape).reshape(-1)
             j_e = jnp.broadcast_to(j_s[:, None, :], shape).reshape(-1)
+            # sub-block AABB pruning — the exact r_c rule at sub-block
+            # granularity. A wide block pair is usually adjacent through
+            # a small face region, so most of its split² sub-pairs have a
+            # real gap > r_c: sentinel them out and the bounds walk skips
+            # them (the list length is unchanged; the SWEPT work shrinks
+            # to the surviving pairs).
+            slive = live_flat.reshape(sweep_nb, sweep_block)
+            smin, smax = [], []
+            for s in (sx, sy, sz):
+                sb = s.reshape(sweep_nb, sweep_block)
+                smin.append(jnp.min(
+                    jnp.where(slive, sb, jnp.float32(4e9)), axis=1))
+                smax.append(jnp.max(
+                    jnp.where(slive, sb, jnp.float32(-4e9)), axis=1))
+            ic = jnp.minimum(i_e, sweep_nb - 1)
+            gap2_e = jnp.zeros(i_e.shape, jnp.float32)
+            for c in range(3):
+                g = jnp.maximum(
+                    jnp.maximum(
+                        smin[c][ic] - smax[c][j_e],
+                        smin[c][j_e] - smax[c][ic],
+                    ),
+                    0.0,
+                )
+                gap2_e = gap2_e + g * g
+            near_e = gap2_e <= jnp.float32(r_c) * jnp.float32(r_c)
+            i_e = jnp.where(near_e, i_e, sweep_nb)
             sweep_i, sweep_j = jax.lax.sort(
                 (i_e, j_e), dimension=0, num_keys=1, is_stable=True
             )
@@ -510,9 +537,12 @@ def near_field_tree(
                 None,
             )
 
+        # seed the carry from varying data (0*sx[0]) so its manual-axes
+        # type matches the body output under shard_map (scan rejects an
+        # unvarying init against a mesh-varying carry)
         acc_b, _ = jax.lax.scan(
             chunk_step,
-            jnp.zeros((nb, block * 3), jnp.float32),
+            jnp.zeros((nb, block * 3), jnp.float32) + 0.0 * sx[0],
             (
                 i_idx.reshape(n_chunks, pc),
                 j_idx.reshape(n_chunks, pc),
@@ -656,6 +686,16 @@ def auto_grid(
         r_c = cutoff_cells * box / g
         gn = max(int(box // r_c), 1)
         count, block = host_block_pairs(position, box, r_c, gn)
+        if block > _SWEEP_MAX_BLOCK and -(-n // _SWEEP_MAX_BLOCK) <= 16384:
+            # wide blocks are swept at sub-block granularity with the same
+            # AABB rule (sub-block expansion + pruning), so the SWEPT work
+            # is the 512-granularity pair count — the coarse count would
+            # overprice the near field by ~split² on diffuse scenes. The
+            # nb cap keeps the host [nb, nb] count matrix bounded (~1 GB
+            # at 16.8M would be past it — coarse pricing there).
+            count, block = host_block_pairs(
+                position, box, r_c, gn, block=_SWEEP_MAX_BLOCK
+            )
         pairs = float(count) * block * block
         costs[g] = (
             _COST_PER_PAIR * pairs

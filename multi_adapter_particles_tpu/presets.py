@@ -50,6 +50,20 @@ PRESETS = {
             "interaction_scale": 1.0 / 16_777_216,
         },
     },
+    # The reference's DEFAULT scene (N = 4,194,304, defines.h:44) with
+    # EXACT-at-all-separations self-gravity: tree-P3M near field (the
+    # sub-block-expanded Pallas sweep — wide 2048-particle Morton blocks
+    # split to 512 for the VMEM kernel) + scene-probed auto grid. The
+    # exact O(N^2) sum at this N is a ~94 s dispatch; tree-P3M holds
+    # <0.1% RMS of it at seconds/step.
+    "4m-tree": {
+        "app": {"num_particles": 4_194_304, "gui": False, "vsync": False},
+        "extra": {
+            "force": "p3m", "draw": False, "steps": 10,
+            "p3m_near_mode": "tree",
+            "interaction_scale": 1.0 / 4_194_304,
+        },
+    },
     # 64k P3M self-gravity: exact at all separations on ANY scene. The
     # demo's two-cluster init concentrates most particles into a few near
     # cells (max ~7.5k/cell at this config — far beyond any static slot

@@ -99,6 +99,7 @@ def test_preset_extra_keys_are_consumed():
         "debug", "draw", "dumpframe", "force", "frame_uint8", "fused",
         "height", "interaction_scale", "interactive", "list_adapters",
         "mesh_devices", "metrics", "p3m_capacity", "p3m_cutoff_cells",
+            "p3m_near_mode", "p3m_pair_budget",
         "pm_box", "pm_grid_size", "profile_every", "render_adapter",
         "resume", "seed", "serve", "steps", "trace", "width",
     }

@@ -167,6 +167,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     near_mode = extra.get("p3m_near_mode", "auto")
     pair_budget = extra.get("p3m_pair_budget")
+    sub_pair_budget = extra.get("p3m_sub_pair_budget")
     if extra.get("force") == "p3m" and (
         near_mode == "auto" or (near_mode == "tree" and pair_budget is None)
     ):
@@ -226,6 +227,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             pair_budget = host_pair_budget(pos0, box, r_c, gn)
             print(f"p3m: tree pair budget sized to {pair_budget} "
                   "(from the initial state)", flush=True)
+        if near_mode == "tree" and sub_pair_budget is None:
+            from multi_adapter_particles_tpu.ops.treeforce import (
+                host_sub_pair_budget,
+            )
+
+            r_c = cutoff * box / grid
+            gn = max(int(box // r_c), 1)
+            sub_pair_budget = host_sub_pair_budget(pos0, box, r_c, gn)
+            if sub_pair_budget is not None:
+                print(f"p3m: sweep sub-pair list capped at "
+                      f"{sub_pair_budget} (wide-block scene)", flush=True)
 
     sim_cfg = SimConfig(
         num_particles=app_cfg.num_particles,
@@ -242,6 +254,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         p3m_capacity=extra.get("p3m_capacity", SimConfig.p3m_capacity),
         p3m_near_mode=near_mode,
         p3m_pair_budget=pair_budget,
+        p3m_sub_pair_budget=sub_pair_budget,
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),

@@ -67,6 +67,11 @@ class SimConfig:
     # the CLI sizes it from the scene via treeforce.host_pair_budget —
     # dropped pairs are counted, never silent).
     p3m_pair_budget: Optional[int] = None
+    # Wide-block scenes (N > ~2M): truncation cap for the sweep's expanded
+    # sub-pair list after AABB pruning (None = keep all; the CLI sizes it
+    # via treeforce.host_sub_pair_budget — fewer SMEM slices, shortfall
+    # counted in dropped pairs).
+    p3m_sub_pair_budget: Optional[int] = None
     # Mesh runs: solve the PM field with the slab-decomposed distributed
     # FFT (parallel/dist_fft.py) instead of redundant per-device solves.
     # Worth it for G >= 256 (the doubled spectrum alone is 540 MB); needs

@@ -184,6 +184,7 @@ def make_step(
                 capacity=config.p3m_capacity,
                 near_mode=config.p3m_near_mode,
                 pair_budget=config.p3m_pair_budget,
+                sub_pair_budget=config.p3m_sub_pair_budget,
             )
         else:
             mask = None  # padding mask applied by caller via closure below

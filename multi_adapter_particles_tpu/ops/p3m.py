@@ -307,7 +307,7 @@ def near_field_correction(
     jax.jit,
     static_argnames=(
         "grid", "box", "g_const", "softening_squared", "cutoff_cells",
-        "capacity", "near_mode", "pair_budget",
+        "capacity", "near_mode", "pair_budget", "sub_pair_budget",
     ),
 )
 def p3m_accel_with_overflow(
@@ -320,6 +320,7 @@ def p3m_accel_with_overflow(
     capacity: int = 64,
     near_mode: str = "slots",
     pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
 ):
     """-> (accel [3, N], overflow): mesh long-range + pairwise short-range.
 
@@ -343,7 +344,7 @@ def p3m_accel_with_overflow(
 
         a_near, overflow = near_field_tree(
             position, box, g_const, softening_squared, r_c, gn,
-            pair_budget=pair_budget,
+            pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
         )
     elif near_mode == "slots":
         a_near, overflow = near_field_correction(
@@ -392,6 +393,7 @@ def make_accel_fn(
     capacity: int = 64,
     near_mode: str = "slots",
     pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
 ):
     """Adapter matching the integrator's accel_fn signature."""
     if near_mode == "auto":
@@ -404,6 +406,7 @@ def make_accel_fn(
             softening_squared=softening_squared,
             cutoff_cells=cutoff_cells, capacity=capacity,
             near_mode=near_mode, pair_budget=pair_budget,
+            sub_pair_budget=sub_pair_budget,
         )
 
     return accel_fn

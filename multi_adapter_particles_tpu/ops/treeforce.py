@@ -296,6 +296,7 @@ def near_field_tree(
     pair_budget: int | None = None,
     pair_chunk: int | None = None,
     sweep_slice_cap: int | None = None,
+    sub_pair_budget: int | None = None,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -307,6 +308,10 @@ def near_field_tree(
     inversely with block² so a sweep chunk stays ~100 MB.
     `sweep_slice_cap` overrides the SMEM-derived per-invocation pair cap
     of the Pallas sweep (tests force the sliced path with a tiny cap).
+    `sub_pair_budget` (wide-block scenes only; see `host_sub_pair_budget`)
+    truncates the expanded sub-pair list after AABB pruning — normally
+    shedding only pruned sentinel tail entries, so giant scenes pack
+    fewer SMEM slices; any live shortfall is counted in dropped_pairs.
     """
     n = position.shape[1]
     if block is None:
@@ -479,6 +484,19 @@ def near_field_tree(
             sweep_i, sweep_j = jax.lax.sort(
                 (i_e, j_e), dimension=0, num_keys=1, is_stable=True
             )
+            if sub_pair_budget is not None:
+                # host-probed survivor count: truncating the sorted list
+                # to it drops only sentinel tail entries in the expected
+                # case (fewer SMEM slices at 16.8M-class N); if the scene
+                # outgrew the probe, the shortfall is counted in
+                # dropped_pairs like any other truncation
+                keep = int(min(i_e.shape[0], max(2, sub_pair_budget)))
+                live_e = jnp.sum((sweep_i < sweep_nb).astype(jnp.int32))
+                dropped = dropped + jnp.maximum(
+                    live_e - keep, 0
+                )
+                sweep_i = sweep_i[:keep]
+                sweep_j = sweep_j[:keep]
         p_sweep = int(sweep_j.shape[0])
         bounds = pm._segment_bounds(sweep_i, sweep_nb)     # [sweep_nb+1]
         if p_sweep <= sweep_slice_cap:
@@ -577,6 +595,29 @@ def host_pair_budget(
     return int(count * headroom) + 1
 
 
+def host_sub_pair_budget(
+    position,
+    box: float,
+    r_c: float,
+    near_grid: int,
+    headroom: float = 1.25,
+) -> int | None:
+    """Survivor count of the sub-block AABB prune (x headroom), for
+    `near_field_tree(sub_pair_budget=...)` — None when the scene's
+    adaptive block is already sweep-width (no expansion happens). The
+    count at _SWEEP_MAX_BLOCK granularity IS the post-prune sub-pair set:
+    a sub-pair within r_c implies its parent blocks are within r_c."""
+    import numpy as np
+
+    n = np.asarray(position).shape[1]
+    if default_block(n) <= _SWEEP_MAX_BLOCK:
+        return None
+    count, _ = host_block_pairs(
+        position, box, r_c, near_grid, block=_SWEEP_MAX_BLOCK
+    )
+    return int(count * headroom) + 2
+
+
 def host_block_pairs(
     position,
     box: float,
@@ -617,22 +658,29 @@ def host_block_pairs(
     spos = spos.reshape(3, nb, block)
     live = live.reshape(nb, block)
     any_live = live.any(axis=1)
-    # float-AABB distance prune — the device walk's rule (near_field_tree)
+    # float-AABB distance prune — the device walk's rule (near_field_tree);
+    # row-banded so the host matrix stays ~nb*band (a full [nb, nb] f32 at
+    # 16.8M sub-granularity would be 4+ GB)
     fmin = np.where(live[None], spos, 4e9).min(axis=2)     # [3, nb]
     fmax = np.where(live[None], spos, -4e9).max(axis=2)
-    m = any_live[:, None] & any_live[None, :]
-    gap2 = np.zeros((nb, nb), np.float32)
-    for c in range(3):
-        g = np.maximum(
-            np.maximum(
-                fmin[c][:, None] - fmax[c][None, :],
-                fmin[c][None, :] - fmax[c][:, None],
-            ),
-            0.0,
-        )
-        gap2 += g * g
-    m &= gap2 <= np.float32(r_c) ** 2
-    return int(m.sum()), block
+    rc2 = np.float32(r_c) ** 2
+    count = 0
+    band = 4096
+    for lo in range(0, nb, band):
+        hi = min(lo + band, nb)
+        m = any_live[lo:hi, None] & any_live[None, :]
+        gap2 = np.zeros((hi - lo, nb), np.float32)
+        for c in range(3):
+            g = np.maximum(
+                np.maximum(
+                    fmin[c][lo:hi, None] - fmax[c][None, :],
+                    fmin[c][None, :] - fmax[c][lo:hi, None],
+                ),
+                0.0,
+            )
+            gap2 += g * g
+        count += int((m & (gap2 <= rc2)).sum())
+    return count, block
 
 
 # Auto-grid cost model, calibrated on v5e fp32 (2026-08-17) against the

@@ -354,3 +354,51 @@ class TestPallasSweep:
         np.testing.assert_allclose(
             np.asarray(a_sl), np.asarray(a_dir), rtol=2e-4, atol=1e-3
         )
+
+    def test_sub_pair_budget_truncates_and_counts(self, monkeypatch):
+        """A generous sub-pair budget sheds only pruned sentinel entries
+        (identical forces, dropped stays 0); a starved one must count the
+        live shortfall in dropped_pairs rather than lose it silently."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        rng = np.random.default_rng(17)
+        n = 1024
+        pos3 = np.concatenate(
+            [
+                rng.normal(0, 60, (n // 2, 3)),
+                rng.normal(300, 60, (n // 2, 3)),
+            ]
+        ).astype(np.float32)
+        pos = aos(pos3)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        a_full, d_full = near_field_tree(pos, box, MASS, EPS2, r_c, gn,
+                                         block=128)
+        # host probe == device survivor count (same rule): generous cap
+        sub = treeforce.host_block_pairs(pos, box, r_c, gn, block=32)[0]
+        a_cap, d_cap = near_field_tree(
+            pos, box, MASS, EPS2, r_c, gn, block=128,
+            sub_pair_budget=sub + 2,
+        )
+        assert int(d_full) == int(d_cap) == 0
+        np.testing.assert_array_equal(np.asarray(a_cap), np.asarray(a_full))
+        # starved cap: shortfall counted
+        a_st, d_st = near_field_tree(
+            pos, box, MASS, EPS2, r_c, gn, block=128,
+            sub_pair_budget=max(2, sub // 2),
+        )
+        assert int(d_st) > 0
+        assert np.isfinite(np.asarray(a_st)).all()
+
+    def test_host_sub_pair_budget_gates_on_block_width(self):
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            host_sub_pair_budget,
+        )
+
+        rng = np.random.default_rng(19)
+        pos = np.zeros((4, 4096), np.float32)
+        pos[:3] = rng.normal(0, 80, (3, 4096)).astype(np.float32)
+        # small N: adaptive block is already sweep-width -> None
+        assert host_sub_pair_budget(pos, 2048.0, 216.0, 9) is None

@@ -227,6 +227,7 @@ def make_sharded_step(
             a_near_full, _overflow = near_field_tree(
                 full, box, g_const, cfg.softening_squared, r_c, gn,
                 pair_budget=cfg.p3m_pair_budget,
+                sub_pair_budget=cfg.p3m_sub_pair_budget,
             )
         else:  # "slots" / "auto" (the data-free default)
             a_near_full, _overflow = p3m.near_field_correction(

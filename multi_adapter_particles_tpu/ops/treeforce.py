@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,7 +49,10 @@ from multi_adapter_particles_tpu.ops import pm
 from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
 from multi_adapter_particles_tpu.ops.p3m import _SIGMA_PER_CUTOFF
 
-_PARK = jnp.float32(1.0e9)
+# np scalar, NOT jnp: a module-level jnp constant initializes the JAX
+# backend at import time (which hangs/fails library import when no
+# backend is reachable, e.g. the TPU tunnel is down)
+_PARK = np.float32(1.0e9)
 
 # -- Polynomial short-range factor (no erf/exp in the hot loop) --------------
 # s_short(r) = s_exact - g_long needs erf + exp per pair (most of the

@@ -15,6 +15,23 @@ everywhere):
     exact reference: XLA all-pairs 7574 ms @1M (Pallas kernel: 5719);
     pm_grid @1M: G=64 25.9 ms (3.4% RMS), G=128 54.9 ms (2.4%)
 
+    n=4194304 (host probe, 2026-08-18 — device sweep pending; work =
+    post-prune sub-pair interactions at sweep granularity, modeled ms
+    from the auto_grid cost fit):
+      G=128 3.73M sub-pairs (7.8e11 work) ~11.0 s | G=192 1.59M (3.3e11)
+      ~5.0 s | G=256 996K (2.1e11) ~3.6 s | G=384 553K (1.2e11) ~3.7 s
+      | G=512 429K (9.0e10) ~6.1 s; auto_grid -> 384. Sub-block AABB
+      pruning buys 1.2x (G=128) to 2.9x (G=512) over coarse block pairs.
+      Exact all-pairs at 4M is a ~94 s dispatch (crashes the tunnel
+      worker — use the 4096-target subsample below).
+    n=16777216 (host probe, 2026-08-18; block 8192, split 16):
+      G=128 56.9M sub-pairs (1.2e13) ~165 s | G=192 22.7M (4.8e12)
+      ~66 s | G=256 13.0M (2.7e12) ~39 s | G=384 6.0M (1.2e12) ~20 s
+      | G=512 3.7M (7.8e11) ~16 s. Tree-exact at 16.8M is FEASIBLE at
+      ~16 s/accel (G=512) but the cluster cores keep ~4M sub-pairs
+      irreducible — pm_grid (549 ms, 16m-pm preset) stays the 16.8M
+      mode; the tree showcase tops out at 4M.
+
 Findings (ROADMAP "PM force model" section):
 - the grid optimum shifts with N: near-pair work ~N²/G³ vs far field
   ~G³logG — G=128 is optimal at 262K, G=192 at 1M;

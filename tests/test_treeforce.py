@@ -402,3 +402,20 @@ class TestPallasSweep:
         pos[:3] = rng.normal(0, 80, (3, 4096)).astype(np.float32)
         # small N: adaptive block is already sweep-width -> None
         assert host_sub_pair_budget(pos, 2048.0, 216.0, 9) is None
+
+    def test_host_sub_pair_budget_counts_at_sweep_granularity(
+        self, monkeypatch
+    ):
+        from multi_adapter_particles_tpu.ops import treeforce
+
+        rng = np.random.default_rng(23)
+        pos = np.zeros((4, 8192), np.float32)
+        pos[:3] = rng.normal(0, 120, (3, 8192)).astype(np.float32)
+        # force the wide-block gate without a multi-million-N scene
+        monkeypatch.setattr(treeforce, "default_block", lambda n: 1024)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 256)
+        sub = treeforce.host_sub_pair_budget(pos, 2048.0, 216.0, 9)
+        count, _ = treeforce.host_block_pairs(
+            pos, 2048.0, 216.0, 9, block=256
+        )
+        assert sub == int(count * 1.25) + 2

@@ -418,10 +418,6 @@ def near_field_tree(
     # to each slice, partial accelerations summed (exact by linearity of
     # the pair sum; a target block straddling a slice boundary simply
     # accumulates from both invocations).
-    if sweep_slice_cap is None:
-        smem_words = (768 * 1024) // 4
-        sweep_slice_cap = 2 * (smem_words - (nb + 1))
-    sweep_slice_cap = max(2, sweep_slice_cap // 2 * 2)  # even: u16 packing
     if pallas_supported():
         # VMEM sweep kernel: per target block, its neighbor sources stream
         # HBM->VMEM through a double-buffered DMA pipeline (the
@@ -501,6 +497,14 @@ def near_field_tree(
                 )
                 sweep_i = sweep_i[:keep]
                 sweep_j = sweep_j[:keep]
+        if sweep_slice_cap is None:
+            # the kernel prefetches bounds [sweep_nb+1] + the packed pair
+            # list into SMEM — budget AFTER sweep_nb is known (expansion
+            # grows it split-fold; budgeting nb+1 here overflowed SMEM at
+            # 16.8M where bounds alone is 32769 words)
+            smem_words = (768 * 1024) // 4
+            sweep_slice_cap = 2 * (smem_words - (sweep_nb + 1))
+        sweep_slice_cap = max(2, sweep_slice_cap // 2 * 2)  # even: u16 pack
         p_sweep = int(sweep_j.shape[0])
         bounds = pm._segment_bounds(sweep_i, sweep_nb)     # [sweep_nb+1]
         if p_sweep <= sweep_slice_cap:

@@ -68,8 +68,31 @@ def enumerate_adapters(include_cpu: bool = True) -> List[AdapterInfo]:
             )
         )
 
-    for dev in jax.devices():
-        add(dev)
+    # First backend touch of the process: if the TPU transport is
+    # unreachable this blocks with no feedback (connection retries inside
+    # the plugin), so arm a one-shot hint. Daemon thread; cancelled the
+    # moment enumeration returns.
+    import sys
+    import threading
+
+    hint = threading.Timer(
+        60.0,
+        lambda: print(
+            "devices: backend initialization is taking >60 s — the TPU "
+            "transport may be down/unreachable (it can block "
+            "indefinitely). Ctrl-C and run with a CPU platform, or check "
+            "the tunnel.",
+            file=sys.stderr,
+            flush=True,
+        ),
+    )
+    hint.daemon = True
+    hint.start()
+    try:
+        for dev in jax.devices():
+            add(dev)
+    finally:
+        hint.cancel()
     if include_cpu:
         try:
             for dev in jax.devices("cpu"):

@@ -737,6 +737,15 @@ def auto_grid(
     import numpy as np
 
     n = np.asarray(position).shape[1]
+    if candidates is AUTO_GRID_LADDER:
+        # probe cost is ~15-25 s per candidate at 4M (a fresh Morton
+        # sort + banded AABB count each); small grids are strictly
+        # dominated at scale (measured/modeled: G<=128 @4M >= 3x the
+        # optimum, @16.8M >= 10x) — trim them instead of pricing them
+        if n > 8_000_000:
+            candidates = tuple(g for g in candidates if g >= 256)
+        elif n > 2_000_000:
+            candidates = tuple(g for g in candidates if g >= 192)
     costs = {}
     for g in candidates:
         r_c = cutoff_cells * box / g

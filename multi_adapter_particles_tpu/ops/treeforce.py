@@ -612,17 +612,92 @@ def host_sub_pair_budget(
 ) -> int | None:
     """Survivor count of the sub-block AABB prune (x headroom), for
     `near_field_tree(sub_pair_budget=...)` — None when the scene's
-    adaptive block is already sweep-width (no expansion happens). The
-    count at _SWEEP_MAX_BLOCK granularity IS the post-prune sub-pair set:
-    a sub-pair within r_c implies its parent blocks are within r_c."""
+    adaptive block is already sweep-width (no expansion happens).
+
+    Two-level count, mirroring the device exactly: coarse block pairs
+    under the AABB rule first, then sub-block tests only inside the
+    survivors (a sub-pair within r_c implies its parent pair is too, so
+    nothing is missed). A flat count at sub granularity was ~569 s at
+    16.8M (32768² tests); this is the same number in ~1/100th the time."""
     import numpy as np
 
-    n = np.asarray(position).shape[1]
-    if default_block(n) <= _SWEEP_MAX_BLOCK:
+    pos = np.asarray(position)
+    n = pos.shape[1]
+    block = default_block(n)
+    if block <= _SWEEP_MAX_BLOCK:
         return None
-    count, _ = host_block_pairs(
-        position, box, r_c, near_grid, block=_SWEEP_MAX_BLOCK
-    )
+    split = block // _SWEEP_MAX_BLOCK
+
+    gn = near_grid
+    hn = box / gn
+    p3 = pos[:3]
+    ib = np.floor(p3 / hn + gn / 2).astype(np.int64)
+    inbox = ((ib >= 0) & (ib <= gn - 1)).all(axis=0)
+    bits = max(int(gn - 1).bit_length(), 1)
+    ibc = np.clip(ib, 0, gn - 1)
+    code = np.zeros(n, np.int64)
+    for b in range(bits):
+        for c in range(3):
+            code |= ((ibc[c] >> b) & 1) << (3 * b + c)
+    code[~inbox] = 1 << (3 * bits)
+    order = np.argsort(code, kind="stable")
+    spos = p3[:, order].astype(np.float32)
+    live = inbox[order]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        spos = np.concatenate([spos, np.zeros((3, pad), np.float32)], axis=1)
+        live = np.concatenate([live, np.zeros(pad, bool)])
+    nbs = nb * split
+    sspos = spos.reshape(3, nbs, _SWEEP_MAX_BLOCK)
+    slive = live.reshape(nbs, _SWEEP_MAX_BLOCK)
+    smin = np.where(slive[None], sspos, 4e9).min(axis=2)    # [3, nbs]
+    smax = np.where(slive[None], sspos, -4e9).max(axis=2)
+    # coarse AABBs fold the sub ones
+    cmin = smin.reshape(3, nb, split).min(axis=2)           # [3, nb]
+    cmax = smax.reshape(3, nb, split).max(axis=2)
+    c_any = slive.reshape(nb, split * _SWEEP_MAX_BLOCK).any(axis=1)
+    rc2 = np.float32(r_c) ** 2
+
+    def _pairs(fmin, fmax, alive, band=4096):
+        nn = fmin.shape[1]
+        out = []
+        for lo in range(0, nn, band):
+            hi = min(lo + band, nn)
+            m = alive[lo:hi, None] & alive[None, :]
+            gap2 = np.zeros((hi - lo, nn), np.float32)
+            for c in range(3):
+                g = np.maximum(
+                    np.maximum(
+                        fmin[c][lo:hi, None] - fmax[c][None, :],
+                        fmin[c][None, :] - fmax[c][lo:hi, None],
+                    ),
+                    0.0,
+                )
+                gap2 += g * g
+            ii, jj = (m & (gap2 <= rc2)).nonzero()
+            out.append((ii + lo, jj))
+        return (
+            np.concatenate([o[0] for o in out]),
+            np.concatenate([o[1] for o in out]),
+        )
+
+    ci, cj = _pairs(cmin, cmax, c_any)
+    # sub tests only inside surviving coarse pairs: [P, split, split]
+    a = np.arange(split)
+    isub = (ci[:, None] * split + a[None, :])[:, :, None]   # [P, split, 1]
+    jsub = (cj[:, None] * split + a[None, :])[:, None, :]   # [P, 1, split]
+    gap2 = np.zeros((len(ci), split, split), np.float32)
+    for c in range(3):
+        g = np.maximum(
+            np.maximum(
+                smin[c][isub] - smax[c][jsub],
+                smin[c][jsub] - smax[c][isub],
+            ),
+            0.0,
+        )
+        gap2 += g * g
+    count = int((gap2 <= rc2).sum())
     return int(count * headroom) + 2
 
 

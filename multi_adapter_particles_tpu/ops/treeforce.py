@@ -599,34 +599,35 @@ def host_pair_budget(
     instead of the density-free default (the demo shell at G=64 needs
     ~210 pairs/block where the default budgets 64; a truncated budget
     silently costs accuracy, counted in `dropped_pairs`)."""
-    count, _ = host_block_pairs(position, box, r_c, near_grid, block)
+    if block is None:
+        count, _, _ = host_tree_counts(position, box, r_c, near_grid)
+    else:
+        count, _ = host_block_pairs(position, box, r_c, near_grid, block)
     return int(count * headroom) + 1
 
 
-def host_sub_pair_budget(
+def host_tree_counts(
     position,
     box: float,
     r_c: float,
     near_grid: int,
-    headroom: float = 1.25,
-) -> int | None:
-    """Survivor count of the sub-block AABB prune (x headroom), for
-    `near_field_tree(sub_pair_budget=...)` — None when the scene's
-    adaptive block is already sweep-width (no expansion happens).
+):
+    """One Morton sort -> (coarse_count, sub_count_or_None, block).
 
-    Two-level count, mirroring the device exactly: coarse block pairs
-    under the AABB rule first, then sub-block tests only inside the
-    survivors (a sub-pair within r_c implies its parent pair is too, so
-    nothing is missed). A flat count at sub granularity was ~569 s at
-    16.8M (32768² tests); this is the same number in ~1/100th the time."""
+    The shared probe behind `host_pair_budget`, `host_sub_pair_budget`
+    and `auto_grid`. Two-level, mirroring the device exactly: coarse
+    block pairs under the AABB rule first, then sub-block tests only
+    inside the survivors (a sub-pair within r_c implies its parent pair
+    is too, so nothing is missed). A flat count at sub granularity was
+    ~569 s at 16.8M (32768² tests); this is the same numbers in
+    ~1/100th, and auto_grid stops paying two sorts per candidate."""
     import numpy as np
 
     pos = np.asarray(position)
     n = pos.shape[1]
     block = default_block(n)
-    if block <= _SWEEP_MAX_BLOCK:
-        return None
-    split = block // _SWEEP_MAX_BLOCK
+    split = max(1, block // _SWEEP_MAX_BLOCK)
+    sub_block = block // split
 
     gn = near_grid
     hn = box / gn
@@ -649,14 +650,14 @@ def host_sub_pair_budget(
         spos = np.concatenate([spos, np.zeros((3, pad), np.float32)], axis=1)
         live = np.concatenate([live, np.zeros(pad, bool)])
     nbs = nb * split
-    sspos = spos.reshape(3, nbs, _SWEEP_MAX_BLOCK)
-    slive = live.reshape(nbs, _SWEEP_MAX_BLOCK)
+    sspos = spos.reshape(3, nbs, sub_block)
+    slive = live.reshape(nbs, sub_block)
     smin = np.where(slive[None], sspos, 4e9).min(axis=2)    # [3, nbs]
     smax = np.where(slive[None], sspos, -4e9).max(axis=2)
     # coarse AABBs fold the sub ones
     cmin = smin.reshape(3, nb, split).min(axis=2)           # [3, nb]
     cmax = smax.reshape(3, nb, split).max(axis=2)
-    c_any = slive.reshape(nb, split * _SWEEP_MAX_BLOCK).any(axis=1)
+    c_any = slive.reshape(nb, block).any(axis=1)
     rc2 = np.float32(r_c) ** 2
 
     def _pairs(fmin, fmax, alive, band=4096):
@@ -683,6 +684,9 @@ def host_sub_pair_budget(
         )
 
     ci, cj = _pairs(cmin, cmax, c_any)
+    coarse = len(ci)
+    if split == 1:
+        return coarse, None, block
     # sub tests only inside surviving coarse pairs: [P, split, split]
     a = np.arange(split)
     isub = (ci[:, None] * split + a[None, :])[:, :, None]   # [P, split, 1]
@@ -697,8 +701,23 @@ def host_sub_pair_budget(
             0.0,
         )
         gap2 += g * g
-    count = int((gap2 <= rc2).sum())
-    return int(count * headroom) + 2
+    return coarse, int((gap2 <= rc2).sum()), block
+
+
+def host_sub_pair_budget(
+    position,
+    box: float,
+    r_c: float,
+    near_grid: int,
+    headroom: float = 1.25,
+) -> int | None:
+    """Survivor count of the sub-block AABB prune (x headroom), for
+    `near_field_tree(sub_pair_budget=...)` — None when the scene's
+    adaptive block is already sweep-width (no expansion happens)."""
+    _, sub, _ = host_tree_counts(position, box, r_c, near_grid)
+    if sub is None:
+        return None
+    return int(sub * headroom) + 2
 
 
 def host_block_pairs(
@@ -825,17 +844,15 @@ def auto_grid(
     for g in candidates:
         r_c = cutoff_cells * box / g
         gn = max(int(box // r_c), 1)
-        count, block = host_block_pairs(position, box, r_c, gn)
-        if block > _SWEEP_MAX_BLOCK and -(-n // _SWEEP_MAX_BLOCK) <= 16384:
+        coarse, sub, block = host_tree_counts(position, box, r_c, gn)
+        if sub is not None:
             # wide blocks are swept at sub-block granularity with the same
             # AABB rule (sub-block expansion + pruning), so the SWEPT work
-            # is the 512-granularity pair count — the coarse count would
-            # overprice the near field by ~split² on diffuse scenes. The
-            # nb cap keeps the host [nb, nb] count matrix bounded (~1 GB
-            # at 16.8M would be past it — coarse pricing there).
-            count, block = host_block_pairs(
-                position, box, r_c, gn, block=_SWEEP_MAX_BLOCK
-            )
+            # is the sub-granularity pair count — the coarse count would
+            # overprice the near field by ~split² on diffuse scenes
+            count, block = sub, _SWEEP_MAX_BLOCK
+        else:
+            count = coarse
         pairs = float(count) * block * block
         costs[g] = (
             _COST_PER_PAIR * pairs

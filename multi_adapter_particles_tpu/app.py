@@ -221,21 +221,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"p3m: tree grid auto-selected G={grid} "
                   "(scene-probed cost model; override with -pmgrid)",
                   flush=True)
-        if near_mode == "tree" and pair_budget is None:
-            r_c = cutoff * box / grid
-            gn = max(int(box // r_c), 1)
-            pair_budget = host_pair_budget(pos0, box, r_c, gn)
-            print(f"p3m: tree pair budget sized to {pair_budget} "
-                  "(from the initial state)", flush=True)
-        if near_mode == "tree" and sub_pair_budget is None:
+        if near_mode == "tree" and (
+            pair_budget is None or sub_pair_budget is None
+        ):
+            # one shared probe (one Morton sort) feeds both budgets
             from multi_adapter_particles_tpu.ops.treeforce import (
-                host_sub_pair_budget,
+                PAIR_HEADROOM,
+                host_tree_counts,
             )
 
             r_c = cutoff * box / grid
             gn = max(int(box // r_c), 1)
-            sub_pair_budget = host_sub_pair_budget(pos0, box, r_c, gn)
-            if sub_pair_budget is not None:
+            coarse, sub, _block = host_tree_counts(pos0, box, r_c, gn)
+            if pair_budget is None:
+                pair_budget = int(coarse * PAIR_HEADROOM) + 1
+                print(f"p3m: tree pair budget sized to {pair_budget} "
+                      "(from the initial state)", flush=True)
+            if sub_pair_budget is None and sub is not None:
+                sub_pair_budget = int(sub * PAIR_HEADROOM) + 2
                 print(f"p3m: sweep sub-pair list capped at "
                       f"{sub_pair_budget} (wide-block scene)", flush=True)
 

@@ -586,13 +586,18 @@ def near_field_tree(
     return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, dropped
 
 
+# budget headroom over the probed initial-state counts: scenes evolve,
+# and a breached budget only costs counted (never silent) dropped pairs
+PAIR_HEADROOM = 1.25
+
+
 def host_pair_budget(
     position,              # array-like [4, N] (host or device)
     box: float,
     r_c: float,
     near_grid: int,
     block: int | None = None,
-    headroom: float = 1.25,
+    headroom: float = PAIR_HEADROOM,
 ) -> int:
     """NumPy replica of the block-pair count — cheap enough to run once
     at startup so the CLI can size `pair_budget` from the ACTUAL scene
@@ -709,7 +714,7 @@ def host_sub_pair_budget(
     box: float,
     r_c: float,
     near_grid: int,
-    headroom: float = 1.25,
+    headroom: float = PAIR_HEADROOM,
 ) -> int | None:
     """Survivor count of the sub-block AABB prune (x headroom), for
     `near_field_tree(sub_pair_budget=...)` — None when the scene's

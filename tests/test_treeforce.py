@@ -419,3 +419,32 @@ class TestPallasSweep:
             pos, 2048.0, 216.0, 9, block=256
         )
         assert sub == int(count * 1.25) + 2
+
+    @pytest.mark.parametrize("seed", [3, 7, 41])
+    def test_host_probe_caps_device_survivors_fuzz(self, seed, monkeypatch):
+        """Safety property across random clustered scenes: capping the
+        sweep by the host probe must never drop live pairs (the probe
+        upper-bounds the device's post-prune survivor count)."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        rng = np.random.default_rng(seed)
+        n = 1024
+        centers = rng.uniform(-400, 400, (3, 3))
+        parts = [
+            rng.normal(c, rng.uniform(20, 120), (n // 3 + 1, 3))
+            for c in centers
+        ]
+        pos3 = np.concatenate(parts)[:n].astype(np.float32)
+        pos = aos(pos3)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        monkeypatch.setattr(treeforce, "default_block", lambda _n: 128)
+        cap = treeforce.host_sub_pair_budget(pos, box, r_c, gn)
+        assert cap is not None
+        a, dropped = near_field_tree(
+            pos, box, MASS, EPS2, r_c, gn, block=128, sub_pair_budget=cap,
+        )
+        assert int(dropped) == 0
+        assert np.isfinite(np.asarray(a)).all()

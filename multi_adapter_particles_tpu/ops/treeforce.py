@@ -301,6 +301,7 @@ def near_field_tree(
     pair_chunk: int | None = None,
     sweep_slice_cap: int | None = None,
     sub_pair_budget: int | None = None,
+    block_owner_fn=None,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -316,6 +317,11 @@ def near_field_tree(
     truncates the expanded sub-pair list after AABB pruning — normally
     shedding only pruned sentinel tail entries, so giant scenes pack
     fewer SMEM slices; any live shortfall is counted in dropped_pairs.
+    `block_owner_fn` (mesh runs): callable mapping target block ids
+    [P] int32 -> bool "this device owns these targets"; non-owned pairs
+    are skipped, so the per-device result is a PARTIAL near field —
+    psum it over the mesh (each target block is owned exactly once).
+    dropped_pairs stays a GLOBAL count, identical on every device.
     """
     n = position.shape[1]
     if block is None:
@@ -402,9 +408,12 @@ def near_field_tree(
     skey, sidx = jax.lax.sort((inv, idx), dimension=0, num_keys=1,
                               is_stable=True)
     sidx = sidx[:p_max]                       # i-major (stable sort on iota)
-    valid = (skey[:p_max] == 0).astype(jnp.float32)
     i_idx = sidx // nb
     j_idx = sidx % nb
+    live_pair = skey[:p_max] == 0
+    if block_owner_fn is not None:
+        live_pair = live_pair & block_owner_fn(i_idx)
+    valid = live_pair.astype(jnp.float32)
     dropped = jnp.maximum(total - p_max, 0)
 
     # -- direct interactions over the listed pairs ----------------------------
@@ -433,7 +442,7 @@ def near_field_tree(
         # swept at sub-block width. One ~(split²·P)-entry sort; the pair
         # interaction count is unchanged.
         sweep_block, sweep_nb = block, nb
-        sweep_i = jnp.where(skey[:p_max] == 0, i_idx, nb)  # ascending
+        sweep_i = jnp.where(live_pair, i_idx, nb)  # ascending
         sweep_j = j_idx
         if block > _SWEEP_MAX_BLOCK:
             split = block // _SWEEP_MAX_BLOCK
@@ -446,7 +455,7 @@ def near_field_tree(
                 )
             a_off = jnp.arange(split, dtype=jnp.int32)
             i_s = jnp.where(
-                (skey[:p_max] == 0)[:, None],
+                live_pair[:, None],
                 i_idx[:, None] * split + a_off[None, :],
                 sweep_nb,
             )                                              # [P, split]

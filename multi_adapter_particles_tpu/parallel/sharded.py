@@ -219,25 +219,39 @@ def make_sharded_step(
         a_far = pm._interp(acc32, position, grid, box)
 
         full = gathered_sources(position)
+        n_loc = position.shape[1]
+        shard = jax.lax.axis_index(AXIS)
+        if multislice:
+            shard = jax.lax.axis_index(OUTER_AXIS) * n_inner + shard
         if cfg.p3m_near_mode == "tree":
             from multi_adapter_particles_tpu.ops.treeforce import (
                 near_field_tree,
             )
 
+            # target blocks partitioned round-robin over the mesh: each
+            # device sweeps only the pair list rows it owns (1/D of the
+            # near work — the redundant-sweep v1 stance dropped for tree
+            # mode) and the partial fields psum back to the full near
+            # correction (each block owned exactly once).
+            n_dev = n_inner * n_outer
+
+            def owner(ids):
+                return jax.lax.rem(ids, jnp.int32(n_dev)) == shard
+
             a_near_full, _overflow = near_field_tree(
                 full, box, g_const, cfg.softening_squared, r_c, gn,
                 pair_budget=cfg.p3m_pair_budget,
                 sub_pair_budget=cfg.p3m_sub_pair_budget,
+                block_owner_fn=owner,
             )
+            a_near_full = jax.lax.psum(a_near_full, AXIS)
+            if multislice:
+                a_near_full = jax.lax.psum(a_near_full, OUTER_AXIS)
         else:  # "slots" / "auto" (the data-free default)
             a_near_full, _overflow = p3m.near_field_correction(
                 full, box, g_const, cfg.softening_squared, r_c, gn,
                 cfg.p3m_capacity,
             )
-        n_loc = position.shape[1]
-        shard = jax.lax.axis_index(AXIS)
-        if multislice:
-            shard = jax.lax.axis_index(OUTER_AXIS) * n_inner + shard
         a_near = jax.lax.dynamic_slice_in_dim(
             a_near_full, shard * n_loc, n_loc, axis=1
         )

@@ -322,3 +322,49 @@ class TestTreeThroughP3M:
         np.testing.assert_allclose(
             np.asarray(a_exp), np.asarray(a_ref), rtol=2e-4, atol=1e-2
         )
+
+
+class TestShardedTreeP3M:
+    """Tree near field on the mesh: target blocks partition round-robin
+    across devices and the partial fields psum back — must match the
+    single-device tree step on any mesh shape."""
+
+    def _cfg(self, n):
+        return SimConfig(
+            num_particles=n, force_model="p3m",
+            pm_grid_size=32, pm_box=4096.0, interaction_scale=1.0 / n,
+            p3m_near_mode="tree",
+        )
+
+    @pytest.mark.parametrize("n_dev,multislice", [(4, False), (8, True)])
+    def test_partitioned_tree_matches_single_device(self, n_dev, multislice):
+        import jax
+
+        from multi_adapter_particles_tpu.parallel import (
+            make_mesh, make_sharded_step, shard_state,
+        )
+        from multi_adapter_particles_tpu.parallel.mesh import (
+            make_multislice_mesh,
+        )
+
+        devices = jax.devices()
+        if len(devices) < n_dev:
+            pytest.skip(f"needs {n_dev}+ devices")
+        n = 1024
+        cfg = self._cfg(n)
+        ref = integrator.make_step(cfg, donate=False)(
+            pinit.initialize_particles_device(n, seed=6)
+        )
+        mesh = (
+            make_multislice_mesh(2, devices[:n_dev])
+            if multislice
+            else make_mesh(devices[:n_dev])
+        )
+        sstate = shard_state(
+            pinit.initialize_particles_device(n, seed=6), mesh
+        )
+        out = make_sharded_step(cfg, mesh, donate=False)(sstate)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position),
+            rtol=1e-5, atol=1e-3,
+        )

@@ -200,10 +200,11 @@ def make_sharded_step(
         """P³M on the mesh: the far field parallelizes like PM (per-shard
         deposit, grid psum, local long-solve + interp of LOCAL targets);
         the near field needs global neighbor sources, so every device
-        bins the GATHERED positions, runs the (redundant) 27-cell sweep,
-        and slices out its own block's corrections. Redundant near
-        sweeps are the v1 trade — same stance as the redundant local FFT
-        solves the default PM path takes."""
+        bins the GATHERED positions. TREE mode partitions target blocks
+        round-robin over the mesh (1/D of the sweep each) and psums the
+        partial fields; the SLOT sweep stays redundant per device — its
+        grids are small (few-ms sweeps) and the redundancy matches the
+        redundant local FFT solves the default PM path takes."""
         from multi_adapter_particles_tpu.ops import p3m, pm
 
         g_const = cfg.mass * cfg.interaction_scale

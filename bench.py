@@ -290,8 +290,19 @@ def main() -> int:
 
     note(f"bench: backend={jax.default_backend()}")
     t0 = time.perf_counter()
-    headline = _bench_kernel(jax, n_kernel)
-    note(f"bench: kernel done at +{time.perf_counter()-t0:.0f}s")
+    try:
+        headline = _bench_kernel(jax, n_kernel)
+        note(f"bench: kernel done at +{time.perf_counter()-t0:.0f}s")
+    except Exception as e:  # noqa: BLE001 — still emit the JSON line
+        headline = {
+            "metric": f"pairwise interactions/sec/chip @ {n_kernel} "
+                      "particles (all-pairs Pallas kernel)",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }
+        note(f"bench: kernel FAILED: {e}")
 
     # Each staged config is best-effort: a failure (OOM, tunnel hiccup)
     # must not cost the driver the headline metric or the other stages.

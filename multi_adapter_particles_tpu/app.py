@@ -103,6 +103,12 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               lambda v: extra.__setitem__("metrics", v))
     p.add_int("profileevery", "hard-sync stage timing every K frames",
               lambda v: extra.__setitem__("profile_every", v))
+    p.add_int("diagnostics",
+              "conservation gauges (energy/momentum/angular momentum + "
+              "energy drift) every K frames; the potential is the exact "
+              "O(N^2) pairwise sum for self-gravity models — keep the "
+              "cadence low at large N",
+              lambda v: extra.__setitem__("diag_every", v))
     p.add_int("timerwindow",
               "device stage-timer trace cadence in frames (first window "
               "always fires early, at frame 8)",
@@ -327,6 +333,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ckpt_every = extra.get("checkpoint_every", 0)
 
+    diag = None
+    if extra.get("diag_every"):
+        from multi_adapter_particles_tpu.models.diagnostics import (
+            DiagnosticsProbe,
+        )
+
+        diag = DiagnosticsProbe(sim_cfg, extra["diag_every"])
+
     server = None
     if "serve" in extra:
         from multi_adapter_particles_tpu.utils.dashboard import DashboardServer
@@ -335,6 +349,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"dashboard: http://127.0.0.1:{server.port}/", flush=True)
 
     def overlay(p: ParticlesApp):
+        if diag is not None:
+            # one host sync per sample (float() pulls the scalars) — the
+            # cadence keeps it off the hot path, like -checkpointevery
+            diag.maybe_publish(p.frame_count, p.compute.state, p.metrics)
         if server is not None:
             server.drain()
             # live viewer: push the frame to any connected /stream client

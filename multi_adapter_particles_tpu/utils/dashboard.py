@@ -87,6 +87,13 @@ def render_ansi(app, clear: bool = True) -> str:
         lines.append(f"  {name} ms: {st.milliseconds:8.3f}")
     lines.append(f"  frameTime ms: {m.frame_ms:8.3f}  ({m.fps:6.1f} fps)")
     lines.append(f"  frames: {int(m.counters.get('frames', 0))}")
+    if "energy" in m.gauges:  # -diagnostics conservation gauges
+        lines.append(
+            f"  E: {m.gauges['energy']:.6g}"
+            f"  drift: {m.gauges.get('energy_drift', 0.0):+.2e}"
+            f"  |P|: {m.gauges.get('momentum_mag', 0.0):.3g}"
+            f"  |L|: {m.gauges.get('angular_momentum_mag', 0.0):.4g}"
+        )
     if "transfer_bytes" in m.counters:
         lines.append(f"  transferred: {m.counters['transfer_bytes']/2**20:,.1f} MiB")
     return "\n".join(lines)

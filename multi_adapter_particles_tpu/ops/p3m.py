@@ -154,7 +154,7 @@ def _long_grad_kernels_rfft(grid: int, box: float, r_c: float):
 
 def _accel_rows_long(rho, grid: int, box: float, g_const: float,
                      r_c: float):
-    """Long-range field solve -> packed [G³, 32] rows (the analog of
+    """Long-range field solve -> lane-packed [G³/4, 128] rows (analog of
     `pm._accel_rows` with analytic gradient kernels: one shared forward
     transform, three pruned inverses). Softening is intentionally absent
     here — it lives only in `_short_factor`'s s_exact term (it is ≤0.1%
@@ -167,13 +167,9 @@ def _accel_rows_long(rho, grid: int, box: float, g_const: float,
     ay = pm._irfft_pruned(fr * ky, g) * scale
     az = pm._irfft_pruned(fr * kz, g) * scale
 
-    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)
-    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
-    corners = [
-        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
-        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
-    ]
-    return jnp.concatenate(corners, axis=1)
+    # lane-packed [G³/4, 128] corner rows — see pm._pack_corner_rows
+    # (the [G³, 32] form lane-pads 4x in the tiled layout: 29 GB @G=384)
+    return pm._pack_corner_rows(ax, ay, az, g)
 
 
 def _bin_particles(position, gn: int, hn: float, capacity: int):

@@ -32,12 +32,15 @@ irregular is a sort (the TPU's scatter):
   every axis pruned (free-space/zero-padded): 2 FFT sets per step.
 - **Differentiate**: 2nd-order central differences on the potential grid.
 - **Interpolate**: the whole 2x2x2 accel neighborhood packs into one
-  32-float row per cell ([G³, 32]) so trilinear interpolation costs a
-  single row-gather per particle — issued through the lane-packed
-  gather (`ops/rowgather.py`: 4 rows per 128-lane line + select, 2.7x
-  over the plain narrow gather; a cell-sorted issue order measured NO
-  faster than particle order). The rows must stay fp32: the self-field
-  cancellation across corners breaks in bf16 (see `_accel_rows`).
+  32-float row per cell, stored LANE-PACKED as [G³/4, 128] lines (4
+  cells per 128-lane line — built directly by `_pack_corner_rows`; a
+  [G³, 32] value would lane-pad 4x in the T(8,128) tiled layout, 29 GB
+  at G=384), so trilinear interpolation costs a single row-gather per
+  particle — issued through the lane-packed gather (`ops/rowgather.py`
+  with `packed_w=32`: 2.7x over the plain narrow gather; a cell-sorted
+  issue order measured NO faster than particle order). The rows must
+  stay fp32: the self-field cancellation across corners breaks in bf16
+  (see `_accel_rows`).
 """
 
 from __future__ import annotations
@@ -224,11 +227,12 @@ def _accel_rows(
     rho: jax.Array, grid: int, box: float, g_const: float,
     softening_squared: float,
 ) -> jax.Array:
-    """Field solve + gradient -> packed [G³, 32] accel-neighborhood rows.
+    """Field solve + gradient -> lane-packed accel rows [G³/4, 128].
 
     The whole 2x2x2 corner neighborhood packs into ONE 32-float row per
     base cell (grids are [z, y, x]; cid = z*g*g + y*g + x), so trilinear
-    interpolation costs a single row-gather per particle instead of 8."""
+    interpolation costs a single row-gather per particle instead of 8;
+    4 cells share each 128-lane line (see `_pack_corner_rows`)."""
     phi = _convolve_pruned(
         rho, _potential_kernel_rfft(grid, box, softening_squared), grid
     ) * jnp.float32(g_const)
@@ -236,9 +240,9 @@ def _accel_rows(
 
 
 def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
-    """Scaled potential [G, G, G] -> packed [G³, 32] accel rows (the
-    gradient + neighborhood-packing tail of `_accel_rows`, split out so
-    the distributed solve can produce `phi` its own way)."""
+    """Scaled potential [G, G, G] -> lane-packed accel rows [G³/4, 128]
+    (the gradient + neighborhood-packing tail of `_accel_rows`, split
+    out so the distributed solve can produce `phi` its own way)."""
     g = grid
     h = box / g
     # accel = -grad phi, 2nd-order central differences ([z, y, x] grids)
@@ -254,13 +258,56 @@ def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
     # bf16 storage was measured to break it (7.5% two-body far-field
     # error vs <1% in fp32). The smooth long-range kernel of ops/p3m.py
     # has no self-blob and can afford half-width rows; this one cannot.
-    a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)  # [g, g, g, 4]
-    a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
-    corners = [
-        a4p[dz : dz + g, dy : dy + g, dx : dx + g].reshape(g * g * g, 4)
-        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
-    ]
-    return jnp.concatenate(corners, axis=1)             # [G³, 32]
+    return _pack_corner_rows(ax, ay, az, g)
+
+
+def _pack_corner_rows(ax, ay, az, g: int) -> jax.Array:
+    """Accel grids [g,g,g] x3 -> LANE-PACKED corner rows [G³/4, 128].
+
+    Line l holds the 32-float rows of cells 4l..4l+3 (8 corners x
+    [ax, ay, az, 0] each) — exactly `rows([G³,32]).reshape(G³/4, 128)`,
+    the form `rowgather.gather_rows(..., packed_w=32)` consumes, but
+    built WITHOUT ever materializing a [G³, 32]-shaped value: any array
+    whose minor dim is 32 (or 4) lands in the T(8,128) tiled layout
+    lane-padded to 128, a G³x512-byte allocation — 29.0 GB at G=384,
+    which failed AOT compile on the 16 GiB chip (2026-08-19) and made
+    grids >256 infeasible. Building the packed form slab-by-slab under
+    `lax.map` bounds the padded transient to one z-slab (~0.5 GB) and
+    the output tiles natively at G³x128x4 B (7.25 GB at 384).
+
+    Bitwise identical to the old concatenate-then-relayout rows: pure
+    copies, same corner order (dz, dy, dx row-major; lane j*32+c*4+comp
+    for cell 4l+j, corner c, component comp)."""
+    # one z-slab per map step: k planes with k | g, slab cells <= ~1M
+    m = -(-g ** 3 // (1 << 20))
+    while g % m:
+        m += 1
+    k = g // m
+    pads = ((0, 1), (0, 1), (0, 1))
+    axp, ayp, azp = (jnp.pad(a, pads) for a in (ax, ay, az))
+    zeros = jnp.zeros((k * g * g, 1), jnp.float32)
+    cells = k * g * g
+
+    def slab(i):
+        z0 = i * k
+        cols = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    for comp in (axp, ayp, azp, None):
+                        if comp is None:
+                            cols.append(zeros)
+                            continue
+                        s = jax.lax.dynamic_slice(
+                            comp, (z0 + dz, dy, dx), (k, g, g)
+                        )
+                        cols.append(s.reshape(cells, 1))
+        return jnp.concatenate(cols, axis=1).reshape(cells // 4, 128)
+
+    if m == 1:
+        return slab(0)
+    out = jax.lax.map(slab, jnp.arange(m))
+    return out.reshape(g ** 3 // 4, 128)
 
 
 _INTERP_CHUNK = 2_097_152  # particles per fused gather+weight chunk
@@ -284,7 +331,9 @@ def _interp(acc32, position, grid: int, box: float) -> jax.Array:
     w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
 
     def fused(ci, wi):
-        rows = gather_rows(acc32, ci).reshape(ci.shape[0], 8, 4)
+        rows = gather_rows(acc32, ci, packed_w=32).reshape(
+            ci.shape[0], 8, 4
+        )
         return jnp.sum(rows * wi[:, :, None], axis=1)   # [chunk, 4]
 
     if n <= _INTERP_CHUNK:

@@ -29,25 +29,40 @@ import jax.numpy as jnp
 _MAX_LINE_BYTES = 1 << 31  # cap the materialized [N, 128] gather at 2 GiB
 
 
-def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+def gather_rows(table: jax.Array, idx: jax.Array,
+                packed_w: int | None = None) -> jax.Array:
     """table [R, W], idx [N] int -> [N, W]; bitwise == table[idx].
 
     Packs narrow rows into 128-lane lines when profitable (W < 128 and
     W | 128); otherwise falls back to the plain gather. Very large N
     chunk through `lax.map` so the widened [N, 128] intermediate stays
     bounded (at 16.8M rows it would otherwise be 8.6 GB — measured OOM
-    on a 16 GB v5e inside the PM step)."""
-    r, w = table.shape
-    if w >= 128 or 128 % w != 0:
-        return table[idx]
-    p = 128 // w
-    rp = -(-r // p)
-    pad = rp * p - r
-    if pad:
-        table = jnp.concatenate(
-            [table, jnp.zeros((pad, w), table.dtype)], axis=0
-        )
-    packed = table.reshape(rp, p * w)
+    on a 16 GB v5e inside the PM step).
+
+    `packed_w=w`: the table is ALREADY lane-packed — [R/P, P*w] lines of
+    P = 128//w logical rows each (e.g. pm._pack_corner_rows output,
+    which never materializes the 4x-lane-padded [R, w] form). idx still
+    addresses logical rows."""
+    if packed_w is not None:
+        w = packed_w
+        p = 128 // w
+        if table.shape[1] != p * w:
+            raise ValueError(
+                f"packed table width {table.shape[1]} != {p}*{w}"
+            )
+        packed = table
+    else:
+        r, w = table.shape
+        if w >= 128 or 128 % w != 0:
+            return table[idx]
+        p = 128 // w
+        rp = -(-r // p)
+        pad = rp * p - r
+        if pad:
+            table = jnp.concatenate(
+                [table, jnp.zeros((pad, w), table.dtype)], axis=0
+            )
+        packed = table.reshape(rp, p * w)
 
     def _do(ci):
         rows = packed[ci // p].reshape(ci.shape[0], p, w)  # ONE wide gather

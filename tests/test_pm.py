@@ -59,6 +59,34 @@ class TestDeposit:
         assert rho.sum() == pytest.approx(1.0, rel=1e-5)
 
 
+class TestPackedCornerRows:
+    @pytest.mark.parametrize("g", [8, 16])
+    def test_matches_naive_rows_bitwise(self, g):
+        """_pack_corner_rows builds [G³/4, 128] lines bitwise equal to
+        the naive concatenate-the-corners [G³, 32] rows reshaped — the
+        layout the (measured-OOM at G=384) relayout copy used to make."""
+        rng = np.random.default_rng(g)
+        ax, ay, az = (
+            jnp.asarray(rng.normal(size=(g, g, g)).astype(np.float32))
+            for _ in range(3)
+        )
+        packed = np.asarray(pm._pack_corner_rows(ax, ay, az, g))
+        a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)
+        a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
+        naive = np.concatenate(
+            [
+                np.asarray(
+                    a4p[dz:dz + g, dy:dy + g, dx:dx + g]
+                ).reshape(g ** 3, 4)
+                for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+            ],
+            axis=1,
+        )
+        np.testing.assert_array_equal(
+            packed, naive.reshape(g ** 3 // 4, 128)
+        )
+
+
 class TestForceAccuracy:
     def test_two_body_far_field(self):
         """Two particles 600 units apart (≈ 9 cells at G=64, box=4096):

@@ -31,6 +31,27 @@ class TestGatherRows:
         got = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(idx)))
         np.testing.assert_array_equal(got, table[idx])
 
+    @pytest.mark.parametrize("w", [4, 32])
+    def test_prepacked_table_bitwise(self, w):
+        """A pre-packed [R/P, 128] table (packed_w=w) gathers bitwise
+        identically to packing a plain [R, w] table internally."""
+        rng = np.random.default_rng(10 + w)
+        p = 128 // w
+        r, n = 96 * p, 2048
+        table = rng.normal(size=(r, w)).astype(np.float32)
+        idx = rng.integers(0, r, size=n).astype(np.int32)
+        packed = jnp.asarray(table.reshape(r // p, p * w))
+        got = np.asarray(gather_rows(packed, jnp.asarray(idx), packed_w=w))
+        np.testing.assert_array_equal(got, table[idx])
+
+    def test_prepacked_width_mismatch_raises(self):
+        with pytest.raises(ValueError, match="packed table width"):
+            gather_rows(
+                jnp.zeros((4, 64), jnp.float32),
+                jnp.zeros(4, jnp.int32),
+                packed_w=32,
+            )
+
     def test_nonfinite_neighbors_do_not_poison(self):
         """Rows sharing a 128-lane line with Inf/NaN rows stay exact —
         the select chain never multiplies unselected payloads."""

@@ -15,22 +15,35 @@ everywhere):
     exact reference: XLA all-pairs 7574 ms @1M (Pallas kernel: 5719);
     pm_grid @1M: G=64 25.9 ms (3.4% RMS), G=128 54.9 ms (2.4%)
 
-    n=4194304 (host probe, 2026-08-18 — device sweep pending; work =
-    post-prune sub-pair interactions at sweep granularity, modeled ms
-    from the auto_grid cost fit):
+    n=4194304 (ON CHIP 2026-08-19, subsample-exact reference):
+      G=256 4081.5 ms/accel (compile 128 s, budget 113428), rms=0.081%,
+      dropped=0 — vs the ~94 s exact dispatch: 23x at <0.1% error.
+      G=384 and G=512 are INFEASIBLE on the 16 GiB chip: the long-range
+      [G^3, 32] row array relayouts to T(8,128) tiling, padding the
+      32-lane minor dim to 128 — a G^3*512-byte allocation (29.0 GB at
+      384, 68.7 at 512) that fails AOT compile. auto_grid now prices
+      this roof (`feasible_grid`) and picks 256 at 4M. (G=192, modeled
+      ~5.0 s and feasible at 3.6 GB, hit a collateral remote-compile 500
+      right after the two OOM'd compiles — the known post-failure tunnel
+      state, not a real limit.) Un-padding the relayout by producing the
+      packed [G^3/4, 128] row form directly is the named future lever to
+      unlock G=384 (modeled ~3.6 s).
+    n=4194304 (host probe, 2026-08-18; work = post-prune sub-pair
+    interactions at sweep granularity, modeled ms from the auto_grid
+    cost fit):
       G=128 3.73M sub-pairs (7.8e11 work) ~11.0 s | G=192 1.59M (3.3e11)
       ~5.0 s | G=256 996K (2.1e11) ~3.6 s | G=384 553K (1.2e11) ~3.7 s
-      | G=512 429K (9.0e10) ~6.1 s; auto_grid -> 384. Sub-block AABB
+      | G=512 429K (9.0e10) ~6.1 s. Sub-block AABB
       pruning buys 1.2x (G=128) to 2.9x (G=512) over coarse block pairs.
       Exact all-pairs at 4M is a ~94 s dispatch (crashes the tunnel
       worker — use the 4096-target subsample below).
     n=16777216 (host probe, 2026-08-18; block 8192, split 16):
       G=128 56.9M sub-pairs (1.2e13) ~165 s | G=192 22.7M (4.8e12)
       ~66 s | G=256 13.0M (2.7e12) ~39 s | G=384 6.0M (1.2e12) ~20 s
-      | G=512 3.7M (7.8e11) ~16 s. Tree-exact at 16.8M is FEASIBLE at
-      ~16 s/accel (G=512) but the cluster cores keep ~4M sub-pairs
-      irreducible — pm_grid (549 ms, 16m-pm preset) stays the 16.8M
-      mode; the tree showcase tops out at 4M.
+      | G=512 3.7M (7.8e11) ~16 s. With the measured G<=256 HBM roof
+      (above) single-chip tree-exact at 16.8M costs ~39 s/accel (G=256)
+      — pm_grid (549 ms, 16m-pm preset) stays the 16.8M mode; the tree
+      showcase tops out at 4M.
 
 Findings (ROADMAP "PM force model" section):
 - the grid optimum shifts with N: near-pair work ~N²/G³ vs far field

@@ -142,8 +142,8 @@ def _sweep_kernel(
     jidx_ref,     # SMEM [ceil(p_max/2)] int32 (prefetch): source block per
     #               pair, two uint16 halves per word (low half = even pair)
     spos_hbm,     # [4, nb*B] ANY — sorted positions, j-stream via DMA
-    posT_i,       # [B, 4] VMEM — this target block (x, y, z, 0 columns)
-    out_ref,      # [B, 4] VMEM — near acceleration (x, y, z, 0)
+    pos_i,        # [4, B] VMEM — this target block (x, y, z, 0 rows)
+    out_ref,      # [4, B] VMEM — near acceleration (x, y, z, 0 rows)
     buf,          # [_RING, 4, B] VMEM scratch — ring of source blocks
     sem,          # [_RING] DMA semaphores
     *,
@@ -151,12 +151,33 @@ def _sweep_kernel(
     eps2: float,
     sigma: float,
 ):
+    # Targets and output ride the SAME [4, nb*B] SoA array as the
+    # j-stream: a [nb*B, 4] operand/result lane-pads 4 -> 128 in the
+    # tiled layout — 2 GB per sweep slice at 4M, and the sliced
+    # invocations' outputs stay live together: the G=192@4M program
+    # measured 16.02 GB of HLO temp at 3.2% utilization (2026-08-19,
+    # compile dump) vs ~1 GB in this orientation. The i-rows are
+    # transposed to [B, 1] columns ONCE per target block with an
+    # arithmetic one-hot reduction (Mosaic-legal: int compare inside
+    # where, the ops/sortkv.py pattern; exact — products are x*1 or
+    # x*0), amortized over the block's whole pair sweep.
     i = pl.program_id(0)
     s = bounds_ref[i]
     e = bounds_ref[i + 1]
-    xi = posT_i[:, 0:1]   # [B, 1]
-    yi = posT_i[:, 1:2]
-    zi = posT_i[:, 2:3]
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    d01 = (i0 - i1) * (i0 - i1)
+    eye = jnp.where(d01 > 0, jnp.float32(0.0), jnp.float32(1.0))
+
+    def _col(row):  # [1, B] -> [B, 1]
+        return jnp.sum(eye * row, axis=1, keepdims=True)
+
+    def _row(col):  # [B, 1] -> [1, B]
+        return jnp.sum(eye * col, axis=0, keepdims=True)
+
+    xi = _col(pos_i[0:1, :])   # [B, 1]
+    yi = _col(pos_i[1:2, :])
+    zi = _col(pos_i[2:3, :])
 
     def dma(slot, t):
         # j_idx rides SMEM as two uint16 halves per int32 word (doubles
@@ -208,21 +229,23 @@ def _sweep_kernel(
 
     ax, ay, az = jax.lax.fori_loop(s, e, body, (zero, zero, zero))
     out_ref[:, :] = jnp.concatenate(
-        [ax, ay, az, jnp.zeros_like(ax)], axis=1
+        [_row(ax), _row(ay), _row(az), jnp.zeros((1, block), jnp.float32)],
+        axis=0,
     )
 
 
 def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
-    """[nb*B, 3] per-particle near sums (sorted order) via the VMEM sweep.
+    """[3, nb*B] per-particle near sums (sorted order) via the VMEM sweep.
 
     Grid walks target blocks; each streams its neighbor-list source blocks
     (prefetched scalars) HBM->VMEM double-buffered, accumulating [B, 1]
     register columns — the ops/allpairs.py pipeline steered by the
-    dual-tree pair list instead of a dense j-range."""
+    dual-tree pair list instead of a dense j-range. The one [4, nb*B]
+    SoA array serves BOTH the blocked target operand and the DMA'd
+    j-stream (see `_sweep_kernel` on why no [nb*B, 4] form may exist)."""
     import functools
 
     spos = jnp.stack([sx, sy, sz, jnp.zeros_like(sx)])        # [4, nb*B]
-    sposT = spos.T                                            # [nb*B, 4]
     # pack j_idx as two uint16 halves per int32 word (see _sweep_kernel)
     p = j_idx.shape[0]
     j16 = j_idx.astype(jnp.uint32)
@@ -239,10 +262,10 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((block, 4), lambda i, *_: (i, 0),
+            pl.BlockSpec((4, block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, 4), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((4, block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_RING, 4, block), jnp.float32),
@@ -252,13 +275,13 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * block, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, nb * block), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_flag(),
-    )(bounds, jpacked, spos, sposT)
-    return out[:, :3]
+    )(bounds, jpacked, spos, spos)
+    return out[:3]
 
 
 def _morton(ib, bits: int):
@@ -522,7 +545,7 @@ def near_field_tree(
                 eps2=eps2, sigma=float(sigma),
             )
         else:
-            acc_b = jnp.zeros((nb * block, 3), jnp.float32)
+            acc_b = jnp.zeros((3, nb * block), jnp.float32)
             for lo in range(0, p_sweep, sweep_slice_cap):
                 hi = min(lo + sweep_slice_cap, p_sweep)
                 acc_b = acc_b + _near_sweep_pallas(
@@ -531,6 +554,7 @@ def near_field_tree(
                     sweep_j[lo:hi], nb=sweep_nb, block=sweep_block,
                     eps2=eps2, sigma=float(sigma),
                 )
+        acc_x, acc_y, acc_z = acc_b[0], acc_b[1], acc_b[2]
     else:
         bx = sx.reshape(nb, block)
         by = sy.reshape(nb, block)
@@ -585,10 +609,11 @@ def near_field_tree(
             ),
         )
         acc_b = acc_b.reshape(nb * block, 3)
+        acc_x, acc_y, acc_z = acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]
 
     # -- un-sort to particle order (payload sort, not a scatter) -------------
     _, fx, fy, fz = jax.lax.sort(
-        (spid, acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]),
+        (spid, acc_x, acc_y, acc_z),
         dimension=0, num_keys=1, is_stable=False,
     )
     scale = jnp.float32(g_const)
@@ -819,6 +844,23 @@ _COST_BAND = 1.2
 
 AUTO_GRID_LADDER = (64, 96, 128, 192, 256, 384, 512)
 
+# HBM feasibility roof for the long-range solve: the packed [G^3, 32]
+# acceleration rows land in the T(8,128) tiled layout, which pads the
+# 32-lane minor dim to 128 — the relayout copy allocates G^3 * 128 * 4
+# bytes. Measured on chip 2026-08-19 @4M: G=384's copy is a 29.0 GB
+# allocation ("Allocation (size=28991029248) would exceed memory
+# (size=17179869184)", shape f32[56623104,32]{T(8,128)}) — an AOT
+# compile error on the 16 GiB v5e; G=256 (8.6 GB) compiles and runs at
+# 4081 ms/accel. The default budget admits G=256 and excludes 384+.
+_ROW_BYTES_PER_CELL = 128 * 4
+DEFAULT_HBM_ROW_BUDGET = 9 * 1024**3
+
+
+def feasible_grid(g: int, hbm_row_budget: int = DEFAULT_HBM_ROW_BUDGET
+                  ) -> bool:
+    """Whether grid g's long-range row relayout fits the HBM budget."""
+    return g ** 3 * _ROW_BYTES_PER_CELL <= hbm_row_budget
+
 
 def auto_grid(
     position,
@@ -845,7 +887,15 @@ def auto_grid(
     import numpy as np
 
     n = np.asarray(position).shape[1]
-    if candidates is AUTO_GRID_LADDER:
+    is_default = candidates is AUTO_GRID_LADDER
+    candidates = tuple(g for g in candidates if feasible_grid(g))
+    if not candidates:
+        raise ValueError(
+            "no auto_grid candidate fits the HBM row budget "
+            f"({DEFAULT_HBM_ROW_BUDGET} B); largest feasible grid is "
+            f"{int((DEFAULT_HBM_ROW_BUDGET / _ROW_BYTES_PER_CELL) ** (1/3))}"
+        )
+    if is_default:
         # probe cost is ~15-25 s per candidate at 4M (a fresh Morton
         # sort + banded AABB count each); small grids are strictly
         # dominated at scale (measured/modeled: G<=128 @4M >= 3x the

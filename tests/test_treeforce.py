@@ -244,6 +244,30 @@ class TestAutoGrid:
         g_demo = auto_grid(demo, 2048.0, 6.75)
         assert g_uni <= g_demo
 
+    def test_hbm_feasibility_excludes_oversized_grids(self):
+        """G=384's long-range row relayout is a 29 GB allocation on the
+        16 GiB chip (measured AOT compile failure @4M, 2026-08-19):
+        f32[G^3, 32] tiles to T(8,128), padding 32 lanes -> 128. The
+        feasibility roof must exclude 384/512 from every candidate set
+        so auto_grid never hands the device an uncompilable mesh."""
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            AUTO_GRID_LADDER,
+            auto_grid,
+            feasible_grid,
+        )
+
+        assert [g for g in AUTO_GRID_LADDER if not feasible_grid(g)] == \
+            [384, 512]
+        n = 65_536
+        rng = np.random.default_rng(1)
+        pos = np.full((4, n), 1e9, np.float32)
+        pos[:3] = rng.uniform(-900, 900, (3, n)).astype(np.float32)
+        # explicit candidate list including infeasible grids: filtered
+        assert auto_grid(pos, 2048.0, 6.75, candidates=(384, 512, 128)) \
+            == 128
+        with pytest.raises(ValueError, match="HBM row budget"):
+            auto_grid(pos, 2048.0, 6.75, candidates=(384, 512))
+
     def test_budget_consumes_shared_probe(self):
         """host_pair_budget is the probe count x headroom + 1."""
         from multi_adapter_particles_tpu.ops.treeforce import (

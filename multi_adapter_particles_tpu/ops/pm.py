@@ -261,6 +261,11 @@ def _grad_pack(phi: jax.Array, grid: int, box: float) -> jax.Array:
     return _pack_corner_rows(ax, ay, az, g)
 
 
+_PACK_SLAB_CELLS = 1 << 20  # cells per _pack_corner_rows slab (the
+#                             [slab_cells, 32] transient pads 4x in
+#                             T(8,128); 1M cells ~= 0.5 GB padded)
+
+
 def _pack_corner_rows(ax, ay, az, g: int) -> jax.Array:
     """Accel grids [g,g,g] x3 -> LANE-PACKED corner rows [G³/4, 128].
 
@@ -278,8 +283,11 @@ def _pack_corner_rows(ax, ay, az, g: int) -> jax.Array:
     Bitwise identical to the old concatenate-then-relayout rows: pure
     copies, same corner order (dz, dy, dx row-major; lane j*32+c*4+comp
     for cell 4l+j, corner c, component comp)."""
-    # one z-slab per map step: k planes with k | g, slab cells <= ~1M
-    m = -(-g ** 3 // (1 << 20))
+    # one z-slab per map step: k planes with k | g, slab cells bounded
+    # by _PACK_SLAB_CELLS. m=g (one z-plane per step) always divides g,
+    # so the divisor search is clamped there — without the clamp it
+    # never terminates once ceil(g³/slab) exceeds g (any g > 1024).
+    m = min(-(-g ** 3 // _PACK_SLAB_CELLS), g)
     while g % m:
         m += 1
     k = g // m

@@ -60,17 +60,8 @@ class TestDeposit:
 
 
 class TestPackedCornerRows:
-    @pytest.mark.parametrize("g", [8, 16])
-    def test_matches_naive_rows_bitwise(self, g):
-        """_pack_corner_rows builds [G³/4, 128] lines bitwise equal to
-        the naive concatenate-the-corners [G³, 32] rows reshaped — the
-        layout the (measured-OOM at G=384) relayout copy used to make."""
-        rng = np.random.default_rng(g)
-        ax, ay, az = (
-            jnp.asarray(rng.normal(size=(g, g, g)).astype(np.float32))
-            for _ in range(3)
-        )
-        packed = np.asarray(pm._pack_corner_rows(ax, ay, az, g))
+    @staticmethod
+    def _naive_rows(ax, ay, az, g):
         a4 = jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=-1)
         a4p = jnp.pad(a4, ((0, 1), (0, 1), (0, 1), (0, 0)))
         naive = np.concatenate(
@@ -82,9 +73,46 @@ class TestPackedCornerRows:
             ],
             axis=1,
         )
-        np.testing.assert_array_equal(
-            packed, naive.reshape(g ** 3 // 4, 128)
+        return naive.reshape(g ** 3 // 4, 128)
+
+    @pytest.mark.parametrize("g", [8, 16])
+    def test_matches_naive_rows_bitwise(self, g):
+        """_pack_corner_rows builds [G³/4, 128] lines bitwise equal to
+        the naive concatenate-the-corners [G³, 32] rows reshaped — the
+        layout the (measured-OOM at G=384) relayout copy used to make."""
+        rng = np.random.default_rng(g)
+        ax, ay, az = (
+            jnp.asarray(rng.normal(size=(g, g, g)).astype(np.float32))
+            for _ in range(3)
         )
+        packed = np.asarray(pm._pack_corner_rows(ax, ay, az, g))
+        np.testing.assert_array_equal(packed, self._naive_rows(ax, ay, az, g))
+
+    @pytest.mark.parametrize("slab_cells,g", [(512, 16), (256, 8)])
+    def test_multi_slab_lax_map_path_bitwise(self, slab_cells, g, monkeypatch):
+        """The m>1 slab path (lax.map over z-slabs — what every
+        production grid >=128 takes) is bitwise equal to the single-slab
+        shortcut; the threshold is shrunk so a small grid exercises it
+        (g=16/512 -> m=8 slabs; g=8/256 -> m=2)."""
+        monkeypatch.setattr(pm, "_PACK_SLAB_CELLS", slab_cells)
+        assert -(-g ** 3 // slab_cells) > 1  # really the lax.map path
+        rng = np.random.default_rng(g + slab_cells)
+        ax, ay, az = (
+            jnp.asarray(rng.normal(size=(g, g, g)).astype(np.float32))
+            for _ in range(3)
+        )
+        packed = np.asarray(pm._pack_corner_rows(ax, ay, az, g))
+        np.testing.assert_array_equal(packed, self._naive_rows(ax, ay, az, g))
+
+    def test_slab_divisor_search_terminates_above_1024(self):
+        """g > 1024: ceil(g³/slab) exceeds g, so the divisor search must
+        clamp at m=g (one z-plane per step) instead of hanging (ADVICE
+        r3). Checked arithmetically — no 2048³ array is built."""
+        g = 2048
+        m = min(-(-g ** 3 // pm._PACK_SLAB_CELLS), g)
+        while g % m:
+            m += 1
+        assert m == g
 
 
 class TestForceAccuracy:

@@ -19,6 +19,14 @@ and "extra" carries the staged configs, each with its own vs_baseline:
   4. pm_grid self-gravity step ms at 4M, G=128 (beyond-reference model).
      Baseline: 553 ms = this repo's round-1 measured value.
      vs_baseline = 553/value (>1 = faster than round 1).
+  5. (round 4+) THE REFERENCE'S SHIPPED DEFAULT: central-well sim at
+     N = 4,194,304 (`/root/reference/Particles/defines.h:44-45` — 4M is
+     both default and max; the shipped shader is the O(N) central well,
+     `nBodyGravityCS.hlsl:85-109`) + 720p render, split-mode frame loop.
+     Baseline: the same 60 FPS budget. vs_baseline = 16.67/value.
+  6. (round 4+) render-only ms at 4M, 1024x1024 — the draw half of the
+     reference default alone. Baseline: 159.8 ms = this repo's round-3
+     measured anchor (regression gate). vs_baseline = 159.8/value.
 
 Timing notes (see .claude/skills/verify/SKILL.md): on the axon tunnel,
 `block_until_ready` does not reliably block for Pallas outputs, so every
@@ -36,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PAIRS_PER_SEC = 1.0e12
 FRAME_BUDGET_MS = 1000.0 / 60.0        # README.md:12 60 FPS win condition
 RENDER_R1_MS = 35.9                    # round-1 measured 262K @1024^2
+RENDER_4M_R3_MS = 159.8                # round-3 measured 4M @1024^2 anchor
 PM_R1_MS = 553.0                       # round-1 measured 4M @G=128
 EXACT_262K_MS = 371.0                  # Pallas all-pairs on the 262K demo
 #                                        scene (the reference's only exact
@@ -128,8 +137,10 @@ def _bench_frame(jax, n: int, warm: int, timed: int) -> dict:
     }
 
 
-def _bench_render(jax, n: int, warm: int, timed: int) -> dict:
-    """Render-only 262K @1024^2 (regression gate vs round 1's 35.9 ms)."""
+def _bench_render(jax, n: int, warm: int, timed: int,
+                  baseline_ms: float = RENDER_R1_MS) -> dict:
+    """Render-only @1024^2 (regression gate: round 1's 35.9 ms at 262K,
+    round 3's 159.8 ms anchor at the reference-default 4M)."""
     from multi_adapter_particles_tpu.config import RenderConfig
     from multi_adapter_particles_tpu.models import init as pinit
     from multi_adapter_particles_tpu.render.camera import Camera
@@ -155,7 +166,7 @@ def _bench_render(jax, n: int, warm: int, timed: int) -> dict:
         "metric": f"render-only ms @ {n} particles, 1024x1024 exact splat",
         "value": ms,
         "unit": "ms/frame",
-        "vs_baseline": RENDER_R1_MS / ms,
+        "vs_baseline": baseline_ms / ms,
     }
 
 
@@ -327,8 +338,16 @@ def main() -> int:
             exact_ms=EXACT_1M_MS)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
+        ("render-4m", lambda: _bench_render(
+            jax, n_pm, 3 if on_tpu else warm, 6 if on_tpu else timed,
+            baseline_ms=RENDER_4M_R3_MS)),
         ("frame", lambda: _bench_frame(
             jax, n_frame, warm_frames, timed_frames)),
+        # the reference's shipped default config: 4M central-well + draw.
+        # frames are ~10x 262K's, so fewer of them keeps the stage bounded
+        # while still past the pacing ramp (~8 confirm cycles)
+        ("frame-4m", lambda: _bench_frame(
+            jax, n_pm, 9 if on_tpu else warm, 12 if on_tpu else timed)),
         ("fused", lambda: _bench_fused(
             jax, n_frame, warm_frames, timed_frames)),
     ):

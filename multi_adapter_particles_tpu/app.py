@@ -105,10 +105,16 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               lambda v: extra.__setitem__("profile_every", v))
     p.add_int("diagnostics",
               "conservation gauges (energy/momentum/angular momentum + "
-              "energy drift) every K frames; the potential is the exact "
-              "O(N^2) pairwise sum for self-gravity models — keep the "
-              "cadence low at large N",
+              "energy drift) every K frames; the self-gravity potential "
+              "is the exact O(N^2) pairwise sum up to 262K particles and "
+              "the P3M-split mesh gauge above (usable at the 4M default; "
+              "-diagmode overrides)",
               lambda v: extra.__setitem__("diag_every", v))
+    p.add_str("diagmode",
+              "diagnostics potential: auto (default; exact <=262K, mesh "
+              "above), exact (O(N^2) sum at any N — a ~94 s dispatch at "
+              "4M), mesh (P3M-split gauge, ~1e-4 of exact)",
+              lambda v: extra.__setitem__("diag_mode", v))
     p.add_int("timerwindow",
               "device stage-timer trace cadence in frames (first window "
               "always fires early, at frame 8)",
@@ -339,7 +345,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             DiagnosticsProbe,
         )
 
-        diag = DiagnosticsProbe(sim_cfg, extra["diag_every"])
+        diag = DiagnosticsProbe(
+            sim_cfg, extra["diag_every"],
+            potential_mode=extra.get("diag_mode", "auto"),
+        )
 
     server = None
     if "serve" in extra:

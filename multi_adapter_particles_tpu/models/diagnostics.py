@@ -111,16 +111,78 @@ def pairwise_potential_and_accel(
     return potential, acc * g
 
 
+# auto mode: the exact O(N²) potential up to here (0.4 s at 262K on one
+# v5e), the P³M-split mesh potential above (the exact sum is a ~94 s
+# dispatch at the reference-default 4M — see `mesh_potential_and_accel`)
+_EXACT_MAX_N = 262_144
+
+
+def _gauge_grid(n: int, config_grid: int) -> int:
+    """Mesh size for the POTENTIAL GAUGE — independent of the force
+    model's mesh. The gauge cost is tree-P³M cost, whose measured grid
+    optimum shifts with N (experiments/tree_scaling.py on-chip sweeps:
+    G=192 @1M 689 ms, G=256 @4M 3496 ms; inheriting a run's G=128 at 4M
+    costs ~4x — 13.7 s/sample measured 2026-08-19). Small N keeps the
+    config's own mesh (cheap everywhere, and the accuracy-pinning tests
+    run there)."""
+    if n <= _EXACT_MAX_N:
+        return config_grid
+    if n <= 2_097_152:
+        return max(config_grid, 192)
+    return max(config_grid, 256)
+
+
+def mesh_potential_and_accel(
+    position: Array,
+    g_scale: float,
+    softening_squared: float,
+    grid: int,
+    box: float,
+    cutoff_cells: float = 6.75,
+    pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
+) -> tuple[Array, Array, Array]:
+    """P³M-split (potential, accel, dropped_pairs): the 4M-usable gauge.
+
+    The same softened-Plummer potential as the exact sum, computed the
+    Hockney-Eastwood way — erf/r mesh long part + tree-swept pairwise
+    short remainder (`ops/p3m.py` `with_potential`) — REGARDLESS of
+    which approximation produces the run's forces; measured 1.3e-4
+    relative total-energy error vs the exact sum on a clustered 4K
+    scene, at tree-force cost instead of O(N²) — measured 5.1 s/sample
+    at 4M (G=256, v5e 2026-08-19) vs the ~94 s exact dispatch.
+    The returned accel is the tree-P³M force (<0.1% RMS of exact) —
+    accurate enough for the half-kick velocity sync."""
+    from multi_adapter_particles_tpu.ops import p3m
+
+    accel, u, dropped = p3m.p3m_accel_with_overflow(
+        position, grid=grid, box=box, g_const=g_scale,
+        softening_squared=softening_squared, cutoff_cells=cutoff_cells,
+        near_mode="tree", pair_budget=pair_budget,
+        sub_pair_budget=sub_pair_budget, with_potential=True,
+    )
+    return 0.5 * jnp.sum(u), accel, dropped
+
+
 def make_diagnostics(
     config: SimConfig,
     sync: bool = True,
     j_tile: int = 1024,
+    potential_mode: str = "auto",
+    pair_budget: int | None = None,
 ) -> Callable[[ParticleState], Dict[str, Array]]:
     """Build the jitted `state -> {scalar gauges}` diagnostics function.
 
     Returned keys: kinetic, potential, energy (their sum), momentum_x/y/z,
     momentum_mag, angular_momentum_mag — all f32 0-d arrays on device
     (pull with float() at the publish site; that is the one host sync).
+
+    `potential_mode` (self-gravity models): "exact" = the O(N²) pairwise
+    sum; "mesh" = the P³M-split gauge (`mesh_potential_and_accel` — adds
+    a diag_dropped_pairs key); "auto" = exact up to 262,144 particles,
+    mesh above (the exact sum at the reference-default 4M is a ~94 s
+    dispatch). `pair_budget` sizes the mesh gauge's tree pair list
+    (None = density-free default; `DiagnosticsProbe` probes the scene).
     """
     n = config.num_particles
     dt = jnp.float32(config.dt)
@@ -132,12 +194,29 @@ def make_diagnostics(
     else:
         g_scale = None  # central well
 
+    if potential_mode not in ("auto", "exact", "mesh"):
+        raise ValueError(f"unknown potential_mode {potential_mode!r}")
+    use_mesh = model in _SELF_GRAVITY and (
+        potential_mode == "mesh"
+        or (potential_mode == "auto" and n > _EXACT_MAX_N)
+    )
+
     def diagnostics(state: ParticleState) -> Dict[str, Array]:
         mask = state.make_mask(n)
         pos = state.position
         vel = state.velocity
+        extra: Dict[str, Array] = {}
 
-        if model in _SELF_GRAVITY:
+        if use_mesh:
+            potential, accel, dropped = mesh_potential_and_accel(
+                pos, g_scale, config.softening_squared,
+                grid=_gauge_grid(n, config.pm_grid_size), box=config.pm_box,
+                cutoff_cells=config.p3m_cutoff_cells,
+                pair_budget=pair_budget,
+                sub_pair_budget=config.p3m_sub_pair_budget,
+            )
+            extra["diag_dropped_pairs"] = dropped
+        elif model in _SELF_GRAVITY:
             potential, accel = pairwise_potential_and_accel(
                 pos, mask, g_scale, config.softening_squared, j_tile
             )
@@ -160,7 +239,7 @@ def make_diagnostics(
         ang = jnp.sum(
             jnp.cross(pos[:3] * mask[None, :], vm, axis=0), axis=1
         )
-        return {
+        out = {
             "kinetic": kinetic,
             "potential": potential,
             "energy": kinetic + potential,
@@ -170,6 +249,8 @@ def make_diagnostics(
             "momentum_mag": jnp.sqrt(jnp.sum(momentum * momentum)),
             "angular_momentum_mag": jnp.sqrt(jnp.sum(ang * ang)),
         }
+        out.update(extra)
+        return out
 
     return jax.jit(diagnostics)
 
@@ -177,16 +258,53 @@ def make_diagnostics(
 class DiagnosticsProbe:
     """Cadenced publisher: computes the gauges every `every` frames and
     writes them into a MetricsRegistry, tracking relative energy drift
-    against the first sample (`energy_drift`)."""
+    against the first sample (`energy_drift`).
 
-    def __init__(self, config: SimConfig, every: int, sync: bool = True):
+    When the mesh potential gauge is in play (auto above 262K, or
+    `potential_mode="mesh"`) and the config carries no probed
+    `p3m_pair_budget`, the first sample sizes the tree pair budget from
+    that state's positions (`treeforce.host_pair_budget` — one host
+    sort) so clustered scenes don't silently drop pairs."""
+
+    def __init__(self, config: SimConfig, every: int, sync: bool = True,
+                 potential_mode: str = "auto"):
         self.every = max(1, int(every))
-        self._fn = make_diagnostics(config, sync=sync)
+        self._config = config
+        self._sync = sync
+        self._mode = potential_mode
+        self._fn = None
         self._e0: Optional[float] = None
+
+    def _build(self, state):
+        cfg = self._config
+        budget = cfg.p3m_pair_budget
+        needs_mesh = cfg.force_model in _SELF_GRAVITY and (
+            self._mode == "mesh"
+            or (self._mode == "auto" and cfg.num_particles > _EXACT_MAX_N)
+        )
+        if needs_mesh and budget is None:
+            import numpy as np
+
+            from multi_adapter_particles_tpu.ops.treeforce import (
+                host_pair_budget,
+            )
+
+            gg = _gauge_grid(cfg.num_particles, cfg.pm_grid_size)
+            r_c = cfg.p3m_cutoff_cells * cfg.pm_box / gg
+            gn = max(int(cfg.pm_box // r_c), 1)
+            budget = host_pair_budget(
+                np.asarray(state.position), cfg.pm_box, r_c, gn
+            )
+        return make_diagnostics(
+            cfg, sync=self._sync, potential_mode=self._mode,
+            pair_budget=budget,
+        )
 
     def maybe_publish(self, frame_count: int, state, metrics) -> bool:
         if frame_count % self.every:
             return False
+        if self._fn is None:
+            self._fn = self._build(state)
         vals = {k: float(v) for k, v in self._fn(state).items()}
         if self._e0 is None:
             self._e0 = vals["energy"]

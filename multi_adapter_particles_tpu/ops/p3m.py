@@ -152,6 +152,47 @@ def _long_grad_kernels_rfft(grid: int, box: float, r_c: float):
     )
 
 
+def _long_potential_kernel_rfft(grid: int, box: float, r_c: float):
+    """rfft of the ANALYTIC long-range POTENTIAL kernel
+    K_phi(v) = -erf(|v|/(√2 σ_tab))/|v| (finite at 0: -√(2/π)/σ_tab) on
+    the doubled grid — the potential whose negative gradient is the
+    `_long_grad_kernels_rfft` acceleration. Same σ_tab variance
+    pre-compensation: the CIC deposit+interp windows add h²/3, so the
+    DELIVERED mesh pair potential is -erf(r/(√2 σ_eff))/r, matching
+    `treeforce.short_potential_cheb`'s u_long subtraction."""
+    g2 = 2 * grid
+    h = box / grid
+    sigma_eff = r_c * _SIGMA_PER_CUTOFF
+    sigma_tab = float(
+        (sigma_eff**2 - _CIC2_VARIANCE_CELLS * h * h) ** 0.5
+    )
+    m = jnp.arange(g2)
+    off = (((m + grid) % g2) - grid).astype(jnp.float32) * h
+    rz = off[:, None, None]
+    ry = off[None, :, None]
+    rx = off[None, None, :]
+    d2 = rx * rx + ry * ry + rz * rz
+    r = jnp.sqrt(d2)
+    u = r * jnp.float32(1.0 / (jnp.sqrt(2.0) * sigma_tab))
+    limit0 = jnp.float32(-((2.0 / jnp.pi) ** 0.5) / sigma_tab)
+    kphi = jnp.where(
+        d2 > 0.0,
+        -jax.scipy.special.erf(u) / jnp.maximum(r, jnp.float32(1e-30)),
+        limit0,
+    )
+    return jnp.fft.rfftn(kphi)
+
+
+def _potential_rows_long(rho, grid: int, box: float, g_const: float,
+                         r_c: float):
+    """Long-range potential solve -> lane-packed scalar corner rows
+    (`pm._pack_scalar_corner_rows` form, for `pm._interp_scalar`)."""
+    kp = _long_potential_kernel_rfft(grid, box, r_c)
+    fr = pm._rfft_pruned(rho, grid)
+    phi = pm._irfft_pruned(fr * kp, grid) * jnp.float32(g_const)
+    return pm._pack_scalar_corner_rows(phi, grid)
+
+
 def _accel_rows_long(rho, grid: int, box: float, g_const: float,
                      r_c: float):
     """Long-range field solve -> lane-packed [G³/4, 128] rows (analog of
@@ -304,6 +345,7 @@ def near_field_correction(
     static_argnames=(
         "grid", "box", "g_const", "softening_squared", "cutoff_cells",
         "capacity", "near_mode", "pair_budget", "sub_pair_budget",
+        "with_potential",
     ),
 )
 def p3m_accel_with_overflow(
@@ -317,6 +359,7 @@ def p3m_accel_with_overflow(
     near_mode: str = "slots",
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
+    with_potential: bool = False,
 ):
     """-> (accel [3, N], overflow): mesh long-range + pairwise short-range.
 
@@ -325,23 +368,51 @@ def p3m_accel_with_overflow(
     correction); "tree" = the Morton-block dual-tree sweep
     (`ops/treeforce.py` — exact near field on ANY density contrast,
     including the demo's cluster cores; overflow counts dropped block
-    pairs, 0 in practice)."""
+    pairs, 0 in practice).
+
+    `with_potential` (tree mode only — the diagnostics gauge): also
+    return the per-particle softened pair potential
+    u_i = g * sum_{j != i} -1/sqrt(r_ij² + eps²), split the same Ewald
+    way (mesh erf/r long part + pairwise short remainder, both
+    self-term-free) -> (accel [3, N], u [N], overflow). Total potential
+    energy = 0.5 * sum(u). Costs one extra scalar field solve + the
+    potential channel of the near sweep on top of the force."""
     validate_cutoff_cells(cutoff_cells)
     r_c = cutoff_cells * box / grid
     gn = max(int(box // r_c), 1)          # cell size box/gn >= r_c; at
     # gn <= 2 the 27-neighborhood spans the whole grid, so coverage holds
     # even when r_c > box/3 (a gn floor of 3 would shrink cells BELOW the
     # cutoff and silently miss pairs)
+    if with_potential and near_mode != "tree":
+        raise ValueError(
+            "with_potential requires near_mode='tree' (the slot sweep has "
+            "no potential channel)"
+        )
     rho = pm.deposit_cic(position, grid, box)
     acc32 = _accel_rows_long(rho, grid, box, g_const, r_c)
     a_far = pm._interp(acc32, position, grid, box)
     if near_mode == "tree":
         from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
 
-        a_near, overflow = near_field_tree(
+        near = near_field_tree(
             position, box, g_const, softening_squared, r_c, gn,
             pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+            with_potential=with_potential,
         )
+        if with_potential:
+            a_near, u_near, overflow = near
+            rows_phi = _potential_rows_long(rho, grid, box, g_const, r_c)
+            u_long, inside = pm._interp_scalar(rows_phi, position, grid, box)
+            # remove the particle's own smoothed blob from the mesh term:
+            # the delivered self response is u_long(0; σ_eff) = -√(2/π)/σ_eff
+            # per unit coupling (same matched-variance argument as the force)
+            sigma_eff = r_c * _SIGMA_PER_CUTOFF
+            self_long = jnp.float32(
+                g_const * float((2.0 / jnp.pi) ** 0.5) / sigma_eff
+            )
+            u_long = u_long + jnp.where(inside, self_long, 0.0)
+            return a_far + a_near, u_long + u_near, overflow
+        a_near, overflow = near
     elif near_mode == "slots":
         a_near, overflow = near_field_correction(
             position, box, g_const, softening_squared, r_c, gn, capacity

@@ -318,6 +318,90 @@ def _pack_corner_rows(ax, ay, az, g: int) -> jax.Array:
     return out.reshape(g ** 3 // 4, 128)
 
 
+def _pack_scalar_corner_rows(phi: jax.Array, g: int) -> jax.Array:
+    """Scalar grid [g,g,g] -> lane-packed corner rows for trilinear
+    interpolation of a SCALAR field (the potential gauge): line l holds
+    the 8-float corner rows of cells 16l..16l+15 — [G³/16, 128], the
+    `rowgather.gather_rows(..., packed_w=8)` form. Same corner order as
+    `_pack_corner_rows` (dz, dy, dx row-major), same slab-by-slab
+    construction bounding the [slab_cells, 8] transient (which lane-pads
+    16x in T(8,128)) to ~0.5 GB; the output is 32 B/cell — 0.5 GB at
+    G=256, so the potential gauge fits wherever the force rows do.
+
+    Grids whose g³ isn't 16-divisible (g < 4, never produced by
+    AUTO_GRID_LADDER) fall back to plain [g³, 8] rows — `gather_rows`
+    packs those itself."""
+    m = min(-(-g ** 3 // _PACK_SLAB_CELLS), g)
+    while g % m:
+        m += 1
+    k = g // m
+    cells = k * g * g
+    php = jnp.pad(phi, ((0, 1), (0, 1), (0, 1)))
+    packed = cells % 16 == 0
+    width = 16 if packed else 1
+
+    def slab(i):
+        z0 = i * k
+        cols = [
+            jax.lax.dynamic_slice(
+                php, (z0 + dz, dy, dx), (k, g, g)
+            ).reshape(cells, 1)
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+        ]
+        return jnp.concatenate(cols, axis=1).reshape(
+            cells // width, 8 * width
+        )
+
+    if m == 1:
+        return slab(0)
+    out = jax.lax.map(slab, jnp.arange(m))
+    return out.reshape(g ** 3 // width, 8 * width)
+
+
+def _interp_scalar(rows: jax.Array, position: jax.Array, grid: int,
+                   box: float) -> tuple[jax.Array, jax.Array]:
+    """Trilinear gather-back of a scalar field -> (values [N], inside [N]).
+
+    `rows` is `_pack_scalar_corner_rows` output. Out-of-box particles get
+    0 (they feel/exert no PM field — same contract as `_interp`); the
+    `inside` mask is returned so callers can gate per-particle
+    corrections (e.g. the self-energy subtraction of the potential
+    gauge). Chunked like `_interp` so the [N, 8] intermediate stays
+    bounded at multi-million N."""
+    from multi_adapter_particles_tpu.ops.rowgather import gather_rows
+
+    g = grid
+    n = position.shape[1]
+    i0, frac, inside = _cic_cells(position, g, box)
+    i0c = jnp.clip(i0, 0, g - 2)
+    cid = i0c[2] * g * g + i0c[1] * g + i0c[0]
+    w8 = jnp.stack(_corner_weights(frac), axis=1)       # [N, 8]
+    packed_w = 8 if rows.shape[1] == 128 else None
+
+    def fused(ci, wi):
+        r8 = gather_rows(rows, ci, packed_w=packed_w).reshape(
+            ci.shape[0], 8
+        )
+        return jnp.sum(r8 * wi, axis=1)                 # [chunk]
+
+    if n <= _INTERP_CHUNK:
+        val = fused(cid, w8)
+    else:
+        k = -(-n // _INTERP_CHUNK)
+        pad = k * _INTERP_CHUNK - n
+        cid_p = (
+            jnp.concatenate([cid, jnp.zeros(pad, cid.dtype)]) if pad else cid
+        )
+        w8_p = (
+            jnp.concatenate([w8, jnp.zeros((pad, 8), w8.dtype)]) if pad else w8
+        )
+        val = jax.lax.map(
+            lambda args: fused(*args),
+            (cid_p.reshape(k, _INTERP_CHUNK), w8_p.reshape(k, _INTERP_CHUNK, 8)),
+        ).reshape(k * _INTERP_CHUNK)[:n]
+    return jnp.where(inside, val, 0.0), inside
+
+
 _INTERP_CHUNK = 2_097_152  # particles per fused gather+weight chunk
 
 

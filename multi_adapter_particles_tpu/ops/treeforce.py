@@ -105,6 +105,76 @@ def _fit_h_poly():
 _H_POLY = tuple(float(c) for c in _fit_h_poly())
 
 
+def _fit_e_poly():
+    """Host-side degree-12 monomial fit of E(v) = erf(t/sqrt(2))/t
+    (t = r/sigma, v = t²) on [0, VMAX], mapped x = 2v/VMAX - 1 — the
+    long-range pair POTENTIAL numerator (u_long = -E/sigma), companion
+    of `_fit_h_poly`'s force numerator."""
+    import math
+
+    import numpy as np
+
+    v = np.linspace(0.0, _VMAX, 8001)
+    t = np.sqrt(v)
+    # series: E(v) = sqrt(2/pi) * sum_n (-v/2)^n / (n! (2n+1))
+    es = np.zeros_like(v)
+    term = np.ones_like(v)
+    for n in range(0, 40):
+        es += term / (2 * n + 1)
+        term = term * (-v / 2) / (n + 1)
+    es *= math.sqrt(2.0 / math.pi)
+    erf_v = np.vectorize(math.erf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ee = erf_v(t / math.sqrt(2.0)) / np.maximum(t, 1e-30)
+    e = np.where(v <= 4.0, es, ee)
+    x = 2.0 * v / _VMAX - 1.0
+    import numpy.polynomial.polynomial as _P
+
+    return _P.polyfit(x, e, _POLY_DEG).astype(np.float32)
+
+
+_E_POLY = tuple(float(c) for c in _fit_e_poly())
+
+
+def short_potential_cheb(d2, eps2, sigma):
+    """Polynomial short-range pair POTENTIAL u_short(r) = u_exact - u_long:
+
+        u_exact = -(d² + eps²)^(-1/2)      (softened Plummer)
+        u_long  = -erf(r/(sqrt(2)σ)) / r   (Gaussian-smoothed source)
+
+    the potential whose gradient is `short_factor_cheb`'s force
+    (du/dr = r * s_short). Same construction: the erf numerator is
+    evaluated as a degree-12 Horner polynomial in v = (r/σ)² (finite at
+    r = 0: E(0) = sqrt(2/π)), exactly 0 beyond the cutoff (the truncated
+    tail there is erfc(4.5/√2)/r ≈ 7e-6/r). Pallas-legal (rsqrt + FMAs).
+
+    NOTE the self-pair: at d2 == 0 this returns sqrt(2/π)/σ - 1/eps
+    (NOT zero, unlike the force where r_vec = 0 kills it) — callers must
+    subtract that constant once per live particle."""
+    u_exact = -jax.lax.rsqrt(d2 + jnp.float32(eps2))
+    v = d2 * jnp.float32(1.0 / (sigma * sigma))
+    x = jnp.clip(v * jnp.float32(2.0 / _VMAX) - 1.0, -1.0, 1.0)
+    e = jnp.full_like(x, jnp.float32(_E_POLY[-1]))
+    for c in _E_POLY[-2::-1]:
+        e = e * x + jnp.float32(c)
+    u = u_exact + e * jnp.float32(1.0 / sigma)
+    return jnp.where(v <= jnp.float32(_VMAX), u, 0.0)
+
+
+def short_potential_self(eps2: float, sigma: float) -> float:
+    """u_short(0) — the self-pair constant every live particle picks up
+    exactly once in a potential sweep (its own block pairs with itself).
+    Evaluated through the SAME f32 Horner polynomial as the sweep so the
+    subtraction cancels the self-term exactly (the analytic sqrt(2/π)
+    differs from the fit by ~5e-6, which would otherwise accumulate
+    N-fold in the total)."""
+    e = np.float32(_E_POLY[-1])
+    for c in _E_POLY[-2::-1]:
+        e = e * np.float32(-1.0) + np.float32(c)     # x(v=0) = -1
+    u_exact0 = -np.float32(1.0) / np.float32(np.sqrt(np.float32(eps2)))
+    return float(u_exact0 + e * np.float32(1.0 / sigma))
+
+
 def short_factor_cheb(d2, eps2, sigma):
     """Polynomial s_short: bit-compatible SEMANTICS with p3m._short_factor
     to ~1e-5 of the exact force inside the cutoff, exactly 0 beyond it.
@@ -150,6 +220,7 @@ def _sweep_kernel(
     block: int,
     eps2: float,
     sigma: float,
+    with_potential: bool = False,
 ):
     # Targets and output ride the SAME [4, nb*B] SoA array as the
     # j-stream: a [nb*B, 4] operand/result lane-pads 4 -> 128 in the
@@ -195,7 +266,7 @@ def _sweep_kernel(
         )
 
     def body(t, acc):
-        ax, ay, az = acc
+        ax, ay, az, au = acc
         slot = jax.lax.rem(t - s, _RING)
 
         @pl.when(t + _RING - 1 < e)
@@ -211,10 +282,16 @@ def _sweep_kernel(
         dz = tile[2:3, :] - zi
         d2 = dx * dx + dy * dy + dz * dz
         f = short_factor_cheb(d2, eps2, jnp.float32(sigma))
+        if with_potential:
+            # diagnostics variant: channel 3 (a zero row in the force-only
+            # trace) carries the short-range pair potential sum
+            u = short_potential_cheb(d2, eps2, jnp.float32(sigma))
+            au = au + jnp.sum(u, axis=1, keepdims=True)
         return (
             ax + jnp.sum(dx * f, axis=1, keepdims=True),
             ay + jnp.sum(dy * f, axis=1, keepdims=True),
             az + jnp.sum(dz * f, axis=1, keepdims=True),
+            au,
         )
 
     zero = jnp.zeros((block, 1), jnp.float32)
@@ -227,15 +304,22 @@ def _sweep_kernel(
     for r in range(_RING - 1):
         prologue(r)
 
-    ax, ay, az = jax.lax.fori_loop(s, e, body, (zero, zero, zero))
+    ax, ay, az, au = jax.lax.fori_loop(s, e, body, (zero, zero, zero, zero))
     out_ref[:, :] = jnp.concatenate(
-        [_row(ax), _row(ay), _row(az), jnp.zeros((1, block), jnp.float32)],
+        [
+            _row(ax), _row(ay), _row(az),
+            _row(au) if with_potential
+            else jnp.zeros((1, block), jnp.float32),
+        ],
         axis=0,
     )
 
 
-def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
-    """[3, nb*B] per-particle near sums (sorted order) via the VMEM sweep.
+def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
+                       with_potential=False):
+    """[4, nb*B] per-particle near sums (sorted order) via the VMEM sweep;
+    channel 3 is the short-range pair potential when `with_potential`
+    (zeros otherwise — the force-only trace pays no extra pair ops).
 
     Grid walks target blocks; each streams its neighbor-list source blocks
     (prefetched scalars) HBM->VMEM double-buffered, accumulating [B, 1]
@@ -255,7 +339,8 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
         j16[0::2] | (j16[1::2] << jnp.uint32(16))
     ).astype(jnp.int32)
     kernel = functools.partial(
-        _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma)
+        _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma),
+        with_potential=with_potential,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -281,7 +366,7 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma):
         ),
         interpret=interpret_flag(),
     )(bounds, jpacked, spos, spos)
-    return out[:3]
+    return out
 
 
 def _morton(ib, bits: int):
@@ -325,6 +410,7 @@ def near_field_tree(
     sweep_slice_cap: int | None = None,
     sub_pair_budget: int | None = None,
     block_owner_fn=None,
+    with_potential: bool = False,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -345,6 +431,11 @@ def near_field_tree(
     are skipped, so the per-device result is a PARTIAL near field —
     psum it over the mesh (each target block is owned exactly once).
     dropped_pairs stays a GLOBAL count, identical on every device.
+    `with_potential` (diagnostics): also return the per-particle
+    short-range pair potential u_i = g * sum_j u_short(r_ij) [N] (self
+    term removed, out-of-box particles 0; owner-masked like the force,
+    so psum composes) -> (accel, u, dropped_pairs). The force-only
+    trace is unchanged — the extra pair ops exist only in this variant.
     """
     n = position.shape[1]
     if block is None:
@@ -542,10 +633,10 @@ def near_field_tree(
         if p_sweep <= sweep_slice_cap:
             acc_b = _near_sweep_pallas(
                 sx, sy, sz, bounds, sweep_j, nb=sweep_nb, block=sweep_block,
-                eps2=eps2, sigma=float(sigma),
+                eps2=eps2, sigma=float(sigma), with_potential=with_potential,
             )
         else:
-            acc_b = jnp.zeros((3, nb * block), jnp.float32)
+            acc_b = jnp.zeros((4, nb * block), jnp.float32)
             for lo in range(0, p_sweep, sweep_slice_cap):
                 hi = min(lo + sweep_slice_cap, p_sweep)
                 acc_b = acc_b + _near_sweep_pallas(
@@ -553,13 +644,15 @@ def near_field_tree(
                     jnp.clip(bounds, lo, hi) - jnp.int32(lo),
                     sweep_j[lo:hi], nb=sweep_nb, block=sweep_block,
                     eps2=eps2, sigma=float(sigma),
+                    with_potential=with_potential,
                 )
-        acc_x, acc_y, acc_z = acc_b[0], acc_b[1], acc_b[2]
+        acc_x, acc_y, acc_z, acc_u = acc_b[0], acc_b[1], acc_b[2], acc_b[3]
     else:
         bx = sx.reshape(nb, block)
         by = sy.reshape(nb, block)
         bz = sz.reshape(nb, block)
         n_chunks = p_max // pc
+        nch = 4 if with_potential else 3
 
         def chunk_body(args):
             ii, jj, vv = args                     # each [pc]
@@ -573,21 +666,22 @@ def near_field_tree(
             # of exact everywhere (the f32 erf form itself loses 45% at
             # r<0.01 to cancellation — see short_factor_cheb)
             s = short_factor_cheb(d2, eps2, sigma) * vv[:, None, None]
-            return jnp.stack(
-                [
-                    jnp.sum(s * dxv, axis=-1),
-                    jnp.sum(s * dyv, axis=-1),
-                    jnp.sum(s * dzv, axis=-1),
-                ],
-                axis=-1,
-            )                                     # [pc, B, 3]
+            parts = [
+                jnp.sum(s * dxv, axis=-1),
+                jnp.sum(s * dyv, axis=-1),
+                jnp.sum(s * dzv, axis=-1),
+            ]
+            if with_potential:
+                u = short_potential_cheb(d2, eps2, sigma)
+                parts.append(jnp.sum(u * vv[:, None, None], axis=-1))
+            return jnp.stack(parts, axis=-1)      # [pc, B, nch]
 
         # scan accumulates chunk results straight into the per-target
         # buffer — the stacked [P, B, 3] of a lax.map would be gigabytes
         # at multi-million N (and pads its trailing 3 to a full lane tile)
         def chunk_step(acc, args):
             ii = args[0]
-            f = chunk_body(args).reshape(pc, block * 3)
+            f = chunk_body(args).reshape(pc, block * nch)
             return (
                 acc
                 + jax.ops.segment_sum(
@@ -601,23 +695,44 @@ def near_field_tree(
         # unvarying init against a mesh-varying carry)
         acc_b, _ = jax.lax.scan(
             chunk_step,
-            jnp.zeros((nb, block * 3), jnp.float32) + 0.0 * sx[0],
+            jnp.zeros((nb, block * nch), jnp.float32) + 0.0 * sx[0],
             (
                 i_idx.reshape(n_chunks, pc),
                 j_idx.reshape(n_chunks, pc),
                 valid.reshape(n_chunks, pc),
             ),
         )
-        acc_b = acc_b.reshape(nb * block, 3)
+        acc_b = acc_b.reshape(nb * block, nch)
         acc_x, acc_y, acc_z = acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]
+        acc_u = acc_b[:, 3] if with_potential else None
 
-    # -- un-sort to particle order (payload sort, not a scatter) -------------
-    _, fx, fy, fz = jax.lax.sort(
-        (spid, acc_x, acc_y, acc_z),
+    scale = jnp.float32(g_const)
+    if not with_potential:
+        # -- un-sort to particle order (payload sort, not a scatter) ---------
+        _, fx, fy, fz = jax.lax.sort(
+            (spid, acc_x, acc_y, acc_z),
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, dropped
+
+    # Potential channel: unlike the force (where the self/parked pairs
+    # contribute r_vec = 0), u_short(0) is a nonzero constant — every
+    # live particle picked it up exactly once (its own block pairs with
+    # itself once, in every sweep path), and co-parked particles picked
+    # it up per parked neighbor. Subtract the self constant from live
+    # (owner-masked) entries and zero everything else, in SORTED order
+    # where the live/owner masks are natural.
+    gate = live_flat
+    if block_owner_fn is not None:
+        owner_b = block_owner_fn(jnp.arange(nb, dtype=jnp.int32))
+        gate = gate & jnp.repeat(owner_b, block)
+    u_self = jnp.float32(short_potential_self(float(eps2), float(sigma)))
+    acc_u = jnp.where(gate, acc_u - u_self, 0.0)
+    _, fx, fy, fz, fu = jax.lax.sort(
+        (spid, acc_x, acc_y, acc_z, acc_u),
         dimension=0, num_keys=1, is_stable=False,
     )
-    scale = jnp.float32(g_const)
-    return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, dropped
+    return jnp.stack([fx[:n], fy[:n], fz[:n]]) * scale, fu[:n] * scale, dropped
 
 
 # budget headroom over the probed initial-state counts: scenes evolve,
@@ -844,22 +959,30 @@ _COST_BAND = 1.2
 
 AUTO_GRID_LADDER = (64, 96, 128, 192, 256, 384, 512)
 
-# HBM feasibility roof for the long-range solve: the packed [G^3, 32]
-# acceleration rows land in the T(8,128) tiled layout, which pads the
-# 32-lane minor dim to 128 — the relayout copy allocates G^3 * 128 * 4
-# bytes. Measured on chip 2026-08-19 @4M: G=384's copy is a 29.0 GB
-# allocation ("Allocation (size=28991029248) would exceed memory
-# (size=17179869184)", shape f32[56623104,32]{T(8,128)}) — an AOT
-# compile error on the 16 GiB v5e; G=256 (8.6 GB) compiles and runs at
-# 4081 ms/accel. The default budget admits G=256 and excludes 384+.
-_ROW_BYTES_PER_CELL = 128 * 4
-DEFAULT_HBM_ROW_BUDGET = 9 * 1024**3
+# HBM feasibility roof for the long-range solve. The lane-packed corner
+# rows (pm._pack_corner_rows) are 128 B/cell — the pre-packing
+# [G^3,32]->T(8,128) relayout copy that OOM'd at 29.0 GB (G=384 @4M,
+# 2026-08-19 03:29 sweep) no longer exists. Re-measured the SAME config
+# with the packed code (2026-08-19 08:19 sweep, /tmp/tree4m_r4.log): the
+# binding allocation is now the DOUBLED-GRID FFT working set — the AOT
+# compile peaks at 19.21 GiB of HLO temps, ~10 simultaneously-live
+# (2G)^3-float buffers (pruned-rfft intermediates, f32[768,768,128,6] =
+# 768^3 each, incl. remat copies), i.e. ~364 B per G-cell — vs 15.75 GiB
+# usable v5e HBM. G=256 (same model ~6 GiB) compiles and runs at
+# 3495.9 ms/accel @4M (was 4081.5 pre-packing); G=192 measured 4411.4 ms,
+# so the admitted optimum already beats the modeled ~3.6 s at G=384.
+# Sequentializing the per-component FFT solves is the lever if 384 is
+# ever needed.
+_SOLVE_BYTES_PER_CELL = 364
+DEFAULT_HBM_SOLVE_BUDGET = 14 * 1024**3
+# back-compat alias (round-3 name; same roof, repriced)
+DEFAULT_HBM_ROW_BUDGET = DEFAULT_HBM_SOLVE_BUDGET
 
 
-def feasible_grid(g: int, hbm_row_budget: int = DEFAULT_HBM_ROW_BUDGET
+def feasible_grid(g: int, hbm_budget: int = DEFAULT_HBM_SOLVE_BUDGET
                   ) -> bool:
-    """Whether grid g's long-range row relayout fits the HBM budget."""
-    return g ** 3 * _ROW_BYTES_PER_CELL <= hbm_row_budget
+    """Whether grid g's long-range FFT solve fits the HBM budget."""
+    return g ** 3 * _SOLVE_BYTES_PER_CELL <= hbm_budget
 
 
 def auto_grid(
@@ -891,9 +1014,9 @@ def auto_grid(
     candidates = tuple(g for g in candidates if feasible_grid(g))
     if not candidates:
         raise ValueError(
-            "no auto_grid candidate fits the HBM row budget "
-            f"({DEFAULT_HBM_ROW_BUDGET} B); largest feasible grid is "
-            f"{int((DEFAULT_HBM_ROW_BUDGET / _ROW_BYTES_PER_CELL) ** (1/3))}"
+            "no auto_grid candidate fits the HBM solve budget "
+            f"({DEFAULT_HBM_SOLVE_BUDGET} B); largest feasible grid is "
+            f"{int((DEFAULT_HBM_SOLVE_BUDGET / _SOLVE_BYTES_PER_CELL) ** (1 / 3))}"
         )
     if is_default:
         # probe cost is ~15-25 s per candidate at 4M (a fresh Morton

@@ -245,11 +245,12 @@ class TestAutoGrid:
         assert g_uni <= g_demo
 
     def test_hbm_feasibility_excludes_oversized_grids(self):
-        """G=384's long-range row relayout is a 29 GB allocation on the
-        16 GiB chip (measured AOT compile failure @4M, 2026-08-19):
-        f32[G^3, 32] tiles to T(8,128), padding 32 lanes -> 128. The
-        feasibility roof must exclude 384/512 from every candidate set
-        so auto_grid never hands the device an uncompilable mesh."""
+        """G=384's long-range FFT working set peaks at 19.21 GiB of HLO
+        temps on the 16 GiB chip (measured AOT compile failure @4M with
+        the lane-packed rows, 2026-08-19 08:19 sweep — the doubled-grid
+        rfft intermediates, ~10 live (2G)^3 buffers). The feasibility
+        roof must exclude 384/512 from every candidate set so auto_grid
+        never hands the device an uncompilable mesh."""
         from multi_adapter_particles_tpu.ops.treeforce import (
             AUTO_GRID_LADDER,
             auto_grid,
@@ -265,7 +266,7 @@ class TestAutoGrid:
         # explicit candidate list including infeasible grids: filtered
         assert auto_grid(pos, 2048.0, 6.75, candidates=(384, 512, 128)) \
             == 128
-        with pytest.raises(ValueError, match="HBM row budget"):
+        with pytest.raises(ValueError, match="HBM solve budget"):
             auto_grid(pos, 2048.0, 6.75, candidates=(384, 512))
 
     def test_budget_consumes_shared_probe(self):
@@ -472,3 +473,127 @@ class TestPallasSweep:
         )
         assert int(dropped) == 0
         assert np.isfinite(np.asarray(a)).all()
+
+
+class TestPotentialChannel:
+    """`with_potential`: the diagnostics gauge's short-range pair
+    potential channel (VERDICT r3 #3 — usable `-diagnostics` at 4M)."""
+
+    def test_short_potential_poly_matches_f64_truth(self):
+        """short_potential_cheb vs the f64 erf formula
+        u_short = -1/sqrt(r²+eps²) + erf(r/(√2σ))/r, everywhere inside
+        the cutoff; exactly 0 beyond it."""
+        import math
+
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            _TC, short_potential_cheb,
+        )
+
+        sigma, eps2 = 48.0, 25.0
+        r = np.concatenate([
+            np.linspace(1e-3, _TC * sigma, 4001),
+            np.linspace(_TC * sigma * 1.0001, 3 * _TC * sigma, 64),
+        ])
+        got = np.asarray(
+            short_potential_cheb(
+                jnp.asarray((r * r).astype(np.float32)), eps2, sigma
+            )
+        )
+        erf_v = np.vectorize(math.erf)
+        truth = -1.0 / np.sqrt(r**2 + eps2) + erf_v(
+            r / (math.sqrt(2.0) * sigma)
+        ) / r
+        inside = r <= _TC * sigma
+        # fit error budget: ~5e-6 absolute on E(v), scaled by 1/sigma
+        assert np.abs(got[inside] - truth[inside]).max() < 2e-5 / sigma * 48
+        assert (got[~inside] == 0.0).all()
+
+    def test_self_constant_cancels_bitwise(self):
+        """short_potential_self evaluates the SAME f32 Horner at v=0, so
+        subtracting it from a particle's self-pair leaves exactly 0."""
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            short_potential_cheb, short_potential_self,
+        )
+
+        sigma, eps2 = 108.0, 25.0
+        at0 = float(
+            short_potential_cheb(jnp.zeros((1,), jnp.float32), eps2, sigma)[0]
+        )
+        assert at0 == short_potential_self(eps2, sigma)
+
+    def _clustered(self, n=768, seed=11):
+        rng = np.random.default_rng(seed)
+        pos3 = np.concatenate([
+            rng.normal(0, 90, (n // 2, 3)),
+            rng.normal(250, 50, (n - n // 2, 3)),
+        ]).astype(np.float32)
+        return pos3
+
+    def test_near_potential_matches_direct_pair_sum(self):
+        """Tree-swept per-particle potential == the direct all-pairs sum
+        of the same u_short (it is 0 beyond the cutoff, so the tree's
+        pair list losslessly covers the support), self-term removed."""
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            short_potential_cheb,
+        )
+
+        pos3 = self._clustered()
+        n = pos3.shape[0]
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        sigma = r_c / 4.5
+        acc, u, dropped = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, with_potential=True
+        )
+        assert int(dropped) == 0
+        d2 = ((pos3[None, :, :] - pos3[:, None, :]) ** 2).sum(-1)
+        up = np.array(
+            short_potential_cheb(jnp.asarray(d2), EPS2, sigma)
+        )
+        np.fill_diagonal(up, 0.0)
+        ref = MASS * up.sum(1)
+        got = np.asarray(u)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_potential_variant_leaves_force_identical(self):
+        """The with_potential trace must return the force-only trace's
+        acceleration bitwise (channel 3 is additive-only)."""
+        pos3 = self._clustered(seed=5)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        a0, d0 = near_field_tree(aos(pos3), box, MASS, EPS2, r_c, gn)
+        a1, _, d1 = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, with_potential=True
+        )
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        assert int(d0) == int(d1)
+
+    def test_out_of_box_particles_get_zero_potential(self):
+        pos3 = self._clustered(seed=9)
+        pos3[:7] = 5000.0  # far outside the box
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        _, u, _ = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, with_potential=True
+        )
+        u = np.asarray(u)
+        assert (u[:7] == 0.0).all()
+        assert np.isfinite(u).all()
+
+    def test_pallas_interpret_matches_xla_potential(self, monkeypatch):
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        pos3 = self._clustered(seed=21)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        _, u_xla, _ = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, with_potential=True,
+            block=128,
+        )
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        _, u_pl, _ = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, with_potential=True,
+            block=128,
+        )
+        np.testing.assert_array_equal(np.asarray(u_xla), np.asarray(u_pl))

@@ -15,19 +15,25 @@ everywhere):
     exact reference: XLA all-pairs 7574 ms @1M (Pallas kernel: 5719);
     pm_grid @1M: G=64 25.9 ms (3.4% RMS), G=128 54.9 ms (2.4%)
 
-    n=4194304 (ON CHIP 2026-08-19, subsample-exact reference):
-      G=256 4081.5 ms/accel (compile 128 s, budget 113428), rms=0.081%,
-      dropped=0 — vs the ~94 s exact dispatch: 23x at <0.1% error.
-      G=384 and G=512 are INFEASIBLE on the 16 GiB chip: the long-range
-      [G^3, 32] row array relayouts to T(8,128) tiling, padding the
-      32-lane minor dim to 128 — a G^3*512-byte allocation (29.0 GB at
-      384, 68.7 at 512) that fails AOT compile. auto_grid now prices
-      this roof (`feasible_grid`) and picks 256 at 4M. (G=192, modeled
-      ~5.0 s and feasible at 3.6 GB, hit a collateral remote-compile 500
-      right after the two OOM'd compiles — the known post-failure tunnel
-      state, not a real limit.) Un-padding the relayout by producing the
-      packed [G^3/4, 128] row form directly is the named future lever to
-      unlock G=384 (modeled ~3.6 s).
+    n=4194304 (ON CHIP 2026-08-19 08:08-08:21 sweep, lane-packed rows +
+    SoA sweep accumulator — the f3ef27a/17e48fa code; subsample-exact
+    reference, 4096 targets):
+      G=192 4411.4 ms/accel (compile 47 s, budget 144236), rms=0.080%,
+      dropped=0.
+      G=256 3495.9 ms/accel (compile 100 s, budget 113428), rms=0.081%,
+      dropped=0 — the measured optimum; 14% faster than the pre-packing
+      4081.5 ms (03:29 sweep), ~27x the ~94 s exact dispatch at <0.1%
+      error. auto_grid picks 256 on this scene.
+      G=384 and G=512 remain INFEASIBLE on the 16 GiB chip, but the
+      binding allocation CHANGED: the packed rows killed the 29.0 GB
+      [G^3,32]->T(8,128) relayout copy, and the AOT compile now peaks at
+      19.21 GiB of HLO temps — the doubled-grid FFT working set (~10
+      simultaneously-live (2G)^3-float pruned-rfft buffers,
+      f32[768,768,128,6] = 1.69 GiB each, incl. remat copies) vs
+      15.75 GiB usable. feasible_grid prices this at ~364 B per G-cell
+      (measured 19.21 GiB / 384^3). Sequentializing the per-component
+      gradient solves is the lever if G=384 is ever needed — but the
+      modeled ~3.6 s there no longer beats the measured 3.50 s at 256.
     n=4194304 (host probe, 2026-08-18; work = post-prune sub-pair
     interactions at sweep granularity, modeled ms from the auto_grid
     cost fit):

@@ -82,6 +82,12 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               "tree near-field block-pair budget (default: sized from the "
               "initial state)",
               lambda v: extra.__setitem__("p3m_pair_budget", v))
+    p.add_str("probecache",
+              "startup-probe sidecar: auto (default, ~/.cache/"
+              "multi_adapter_particles_tpu/probes.json) | off | a path — "
+              "repeat launches of the same (N, seed, box, cutoff) skip "
+              "the host tree probes (~66 s at 4M)",
+              lambda v: extra.__setitem__("probe_cache", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_flag("shardrender", "with -meshdevices: shard the RENDER role "
@@ -122,7 +128,8 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
     p.add_flag("nodraw", "simulate only (SPACE-toggle analog)",
                lambda: extra.__setitem__("draw", False))
     p.add_flag("interactive",
-               "read keys: SPACE toggles draw, ESC/q quits, WASD/arrows fly",
+               "read keys: SPACE toggles draw, ESC/q quits, WASD/arrows "
+               "fly, mouse drag looks (xterm SGR reporting)",
                lambda: extra.__setitem__("interactive", True))
     p.add_flag("fused", "sim+render as one compiled program (async-compute "
                "analog; single device only)",
@@ -187,31 +194,52 @@ def main(argv: Optional[List[str]] = None) -> int:
         # would overflow (the demo's cluster cores), run the tree near
         # field instead — exact on any density contrast (ops/treeforce.py)
         # — and size its block-pair budget from the actual scene.
+        # Probe results persist in a JSON sidecar keyed by the scene
+        # identity (N, seed, box, cutoff — the device init is
+        # deterministic in N and seed), so a REPEAT launch of the same
+        # config skips every host sort and the device init feeding them
+        # (~15-25 s per candidate probe at 4M; -probecache off disables;
+        # utils/probecache.py).
         from multi_adapter_particles_tpu.models import init as pinit
         from multi_adapter_particles_tpu.ops.p3m import host_overflow_count
         from multi_adapter_particles_tpu.ops.treeforce import (
-            host_pair_budget,
+            counts_cache_key,
+            host_tree_counts,
         )
+        from multi_adapter_particles_tpu.utils.probecache import open_cache
 
         import numpy as np
 
         grid = extra.get("pm_grid_size", SimConfig.pm_grid_size)
         box = extra.get("pm_box", SimConfig.pm_box)
         cutoff = extra.get("p3m_cutoff_cells", SimConfig.p3m_cutoff_cells)
+        cache = open_cache(
+            extra.get("probe_cache"), app_cfg.num_particles,
+            extra.get("seed", 0), box, cutoff,
+        )
+
         # Probe the DEVICE init: it is the scene the engines actually
         # start from (same seed), and it is compiled — the host oracle
         # tiers are per-particle Python (~130 us/particle: 9 min at 4M,
-        # measured) and draw a DIFFERENT stream anyway.
-        pos0 = np.asarray(
-            pinit.initialize_particles_device(
-                app_cfg.num_particles, seed=extra.get("seed", 0)
-            ).position
-        )  # [4, Np]; padding parked at 1e9 = out-of-box, ignored
+        # measured) and draw a DIFFERENT stream anyway. Materialized
+        # LAZILY: a warm cache needs no positions at all.
+        _pos0 = [None]
+
+        def pos0():
+            if _pos0[0] is None:
+                _pos0[0] = np.asarray(
+                    pinit.initialize_particles_device(
+                        app_cfg.num_particles, seed=extra.get("seed", 0)
+                    ).position
+                )  # [4, Np]; padding parked at 1e9 = out-of-box, ignored
+            return _pos0[0]
+
         if near_mode == "auto":
-            ov = host_overflow_count(
-                pos0, grid, box, cutoff,
-                extra.get("p3m_capacity", SimConfig.p3m_capacity),
-            )
+            cap = extra.get("p3m_capacity", SimConfig.p3m_capacity)
+            ov = cache.overflow.get((grid, cap))
+            if ov is None:
+                ov = host_overflow_count(pos0(), grid, box, cutoff, cap)
+                cache.overflow[(grid, cap)] = int(ov)
             near_mode = "tree" if ov else "slots"
             print(
                 f"p3m: near-field auto probe -> {near_mode}"
@@ -228,7 +256,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             # 192 @1M on the demo init; ops/treeforce.py auto_grid)
             from multi_adapter_particles_tpu.ops.treeforce import auto_grid
 
-            grid = auto_grid(pos0, box, cutoff)
+            grid = auto_grid(
+                pos0, box, cutoff, counts_cache=cache.counts,
+                num_particles=app_cfg.num_particles,
+            )
             extra["pm_grid_size"] = grid
             print(f"p3m: tree grid auto-selected G={grid} "
                   "(scene-probed cost model; override with -pmgrid)",
@@ -236,15 +267,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         if near_mode == "tree" and (
             pair_budget is None or sub_pair_budget is None
         ):
-            # one shared probe (one Morton sort) feeds both budgets
+            # one shared probe feeds both budgets — and auto_grid above
+            # already cached this grid's counts, so it is usually free
             from multi_adapter_particles_tpu.ops.treeforce import (
                 PAIR_HEADROOM,
-                host_tree_counts,
             )
 
             r_c = cutoff * box / grid
             gn = max(int(box // r_c), 1)
-            coarse, sub, _block = host_tree_counts(pos0, box, r_c, gn)
+            ck = counts_cache_key(gn, r_c)
+            if ck in cache.counts:
+                coarse, sub, _block = cache.counts[ck]
+            else:
+                coarse, sub, _block = host_tree_counts(pos0(), box, r_c, gn)
+                cache.counts[ck] = (coarse, sub, _block)
             if pair_budget is None:
                 pair_budget = int(coarse * PAIR_HEADROOM) + 1
                 print(f"p3m: tree pair budget sized to {pair_budget} "
@@ -253,6 +289,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 sub_pair_budget = int(sub * PAIR_HEADROOM) + 2
                 print(f"p3m: sweep sub-pair list capped at "
                       f"{sub_pair_budget} (wide-block scene)", flush=True)
+        cache.save()
 
     sim_cfg = SimConfig(
         num_particles=app_cfg.num_particles,
@@ -419,6 +456,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         msg = apply_key(particles, key)
                         if msg and app_cfg.gui:
                             print(msg)
+                    if inp.mouse_dx or inp.mouse_dy:
+                        particles.render.camera.drag(
+                            inp.mouse_dx, inp.mouse_dy
+                        )
                     for key in inp.pressed:
                         particles.render.camera.key_down(key)
                     particles.draw()

@@ -985,11 +985,20 @@ def feasible_grid(g: int, hbm_budget: int = DEFAULT_HBM_SOLVE_BUDGET
     return g ** 3 * _SOLVE_BYTES_PER_CELL <= hbm_budget
 
 
+def counts_cache_key(gn: int, r_c: float):
+    """Canonical `counts_cache` key for one (near-grid, cutoff) probe.
+    The float goes through one fixed format so lookups are exact across
+    processes (utils/probecache.py persists these keys as JSON)."""
+    return (int(gn), f"{float(r_c):.9g}")
+
+
 def auto_grid(
     position,
     box: float,
     cutoff_cells: float,
     candidates=AUTO_GRID_LADDER,
+    counts_cache: dict | None = None,
+    num_particles: int | None = None,
 ) -> int:
     """Pick the mesh size minimizing the modeled tree-P3M accel time.
 
@@ -1006,10 +1015,32 @@ def auto_grid(
     term, while the pair term can only grow as the scene clusters over
     time; the rule also matches the measured 262K call (96 vs 128 model
     costs within 8%, 128 measured 14% faster).
+
+    `counts_cache`: optional dict of `counts_cache_key(gn, r_c)` ->
+    `host_tree_counts` triple — probes hit the cache and misses fill it
+    (a 4M probe is ~15-25 s; utils/probecache.py persists the dict
+    across launches). `position` may then be a ZERO-ARG CALLABLE,
+    materialized only on a cache miss (skips the 4M device init + host
+    copy on a warm cache) — pass `num_particles` alongside so the
+    ladder trimming needn't touch it either.
     """
     import numpy as np
 
-    n = np.asarray(position).shape[1]
+    if callable(position):
+        pos_fn, _pos = position, None
+
+        def get_pos():
+            nonlocal _pos
+            if _pos is None:
+                _pos = np.asarray(pos_fn())
+            return _pos
+    else:
+        def get_pos():
+            return position
+
+    n = num_particles
+    if n is None:
+        n = np.asarray(get_pos()).shape[1]
     is_default = candidates is AUTO_GRID_LADDER
     candidates = tuple(g for g in candidates if feasible_grid(g))
     if not candidates:
@@ -1031,7 +1062,13 @@ def auto_grid(
     for g in candidates:
         r_c = cutoff_cells * box / g
         gn = max(int(box // r_c), 1)
-        coarse, sub, block = host_tree_counts(position, box, r_c, gn)
+        ck = counts_cache_key(gn, r_c)
+        if counts_cache is not None and ck in counts_cache:
+            coarse, sub, block = counts_cache[ck]
+        else:
+            coarse, sub, block = host_tree_counts(get_pos(), box, r_c, gn)
+            if counts_cache is not None:
+                counts_cache[ck] = (coarse, sub, block)
         if sub is not None:
             # wide blocks are swept at sub-block granularity with the same
             # AABB rule (sub-block expansion + pruning), so the SWEPT work

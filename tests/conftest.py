@@ -35,6 +35,14 @@ if not _want_tpu:
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _hermetic_probe_cache(tmp_path, monkeypatch):
+    """Keep the startup-probe sidecar (utils/probecache.py) out of the
+    real ~/.cache: tests get a per-test XDG_CACHE_HOME so app runs can't
+    read stale probes or leave litter behind."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg-cache"))
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     import jax

@@ -164,3 +164,28 @@ def test_metrics_dump_enables_stage_timer(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert seen.get("async_timers") is None
+
+
+def test_probe_cache_skips_host_probes_on_repeat_launch(tmp_path, monkeypatch):
+    """Second launch of the same (N, seed, box, cutoff) must do ZERO
+    host tree probes (they cost ~15-25 s each at 4M): auto_grid and the
+    budget sizing read the sidecar, and the probe-only device init is
+    never materialized (VERDICT r3 #5)."""
+    cache_file = str(tmp_path / "probes.json")
+    args = [
+        "-numparticles", "4096", "-steps", "1", "-novsync", "-nogui",
+        "-width", "128", "-height", "128", "-force", "p3m",
+        "-p3mnear", "tree", "-probecache", cache_file,
+    ]
+    assert run(args) == 0
+    import json
+    blob = json.load(open(cache_file))
+    assert blob, "first launch wrote no probe sidecar"
+
+    from multi_adapter_particles_tpu.ops import treeforce
+
+    def boom(*a, **k):
+        raise AssertionError("warm launch re-ran a host tree probe")
+
+    monkeypatch.setattr(treeforce, "host_tree_counts", boom)
+    assert run(args) == 0

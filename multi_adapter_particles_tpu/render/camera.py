@@ -98,6 +98,17 @@ class Camera:
         self.yaw = math.pi
         self.pitch = 0.0
 
+    def drag(self, dx: float, dy: float, sensitivity: float = 0.01):
+        """Mouse-look: drag deltas to yaw/pitch (same clamp as keys).
+
+        The reference FORWARDS mouse deltas into InputState
+        (`WindowProc.cpp:37-152`) but its camera never consumes them
+        (`Render.cpp:773` updates with dt=0) — here the drag is live;
+        deviation noted in PARITY.md."""
+        self.yaw -= dx * sensitivity
+        self.pitch -= dy * sensitivity
+        self.pitch = max(-math.pi / 4, min(math.pi / 4, self.pitch))
+
     def update(self, elapsed_seconds: float):
         """Advance the fly-cam state (the reference passes 0 every frame)."""
         mx = (-1.0 if self.keys["a"] else 0.0) + (1.0 if self.keys["d"] else 0.0)

@@ -1,10 +1,14 @@
-"""Keyboard input handling — the WindowProc / InputState analog.
+"""Keyboard + mouse input handling — the WindowProc / InputState analog.
 
 The reference translates Win32 messages into an `InputState` consumed by
 the camera and app (`WindowProc.cpp:37-152`): ESC quits, SPACE toggles
 drawing, arrows/WASD fly the camera (forwarded but effectively unused —
-`Render.cpp:773` updates with dt=0). Headless, the same contract reads raw
-terminal keys without blocking the frame loop.
+`Render.cpp:773` updates with dt=0), and WM_MOUSEMOVE deltas ride the
+same struct (`WindowProc.h:39-72`). Headless, the same contract reads
+raw terminal keys without blocking the frame loop, and mouse drags via
+xterm SGR mouse reporting (modes 1002 button-event + 1006 SGR encoding:
+`ESC [ < b ; x ; y M/m`) — unlike the reference, the drag actually
+drives the camera (yaw/pitch), since dt=0 upstream made the fields dead.
 
 `InputState` carries one frame's worth of edge/level state; `TerminalInput`
 is the message pump: put the tty in cbreak mode, poll with select, decode
@@ -14,6 +18,7 @@ escape sequences for arrows. Non-tty (pipes, CI) degrades to a no-op.
 from __future__ import annotations
 
 import os
+import re
 import select
 import sys
 from dataclasses import dataclass, field
@@ -28,10 +33,15 @@ class InputState:
     toggle_draw: bool = False          # SPACE edge (Main-Particles.cpp:86-88)
     keys_down: Set[str] = field(default_factory=set)   # held (level) keys
     pressed: List[str] = field(default_factory=list)   # this frame's edges
+    mouse_dx: int = 0                  # drag deltas, terminal cells
+    mouse_dy: int = 0                  # (accumulated over this frame)
+    mouse_down: bool = False           # left button held (level)
 
     def clear_edges(self):
         self.toggle_draw = False
         self.pressed = []
+        self.mouse_dx = 0
+        self.mouse_dy = 0
 
 
 _ESCAPE_SEQS = {
@@ -39,14 +49,20 @@ _ESCAPE_SEQS = {
     "OA": "up", "OB": "down", "OC": "right", "OD": "left",
 }
 
+# SGR mouse report: ESC [ < button ; col ; row (M=press/motion, m=release)
+_SGR_MOUSE = re.compile(r"\[<(\d+);(\d+);(\d+)([Mm])")
+
 
 class TerminalInput:
     """cbreak-mode key reader; a no-op when stdin is not a tty."""
 
-    def __init__(self, stream=None):
+    def __init__(self, stream=None, mouse: bool = True):
         self.stream = stream if stream is not None else sys.stdin
         self._fd: Optional[int] = None
         self._saved = None
+        self._mouse_wanted = mouse
+        self._mouse_on = False
+        self._last_xy: Optional[tuple] = None
         self.state = InputState()
 
     # -- lifecycle -----------------------------------------------------------
@@ -59,11 +75,21 @@ class TerminalInput:
                 self._fd = self.stream.fileno()
                 self._saved = termios.tcgetattr(self._fd)
                 tty.setcbreak(self._fd)
+                if self._mouse_wanted:
+                    # 1002: report presses/releases + drag motion;
+                    # 1006: SGR encoding (unambiguous, >223-col safe)
+                    sys.stdout.write("\x1b[?1002h\x1b[?1006h")
+                    sys.stdout.flush()
+                    self._mouse_on = True
         except (OSError, ValueError, ImportError):
             self._fd = None
         return self
 
     def __exit__(self, *exc):
+        if self._mouse_on:
+            sys.stdout.write("\x1b[?1002l\x1b[?1006l")
+            sys.stdout.flush()
+            self._mouse_on = False
         if self._fd is not None and self._saved is not None:
             import termios
 
@@ -90,6 +116,23 @@ class TerminalInput:
         while i < len(buf):
             ch = buf[i]
             if ch == "\x1b":
+                m = _SGR_MOUSE.match(buf, i + 1)
+                if m:
+                    btn, col, row = (int(m.group(k)) for k in (1, 2, 3))
+                    press = m.group(4) == "M"
+                    if btn & 32:  # motion with a button held (mode 1002)
+                        if self._last_xy is not None:
+                            self.state.mouse_dx += col - self._last_xy[0]
+                            self.state.mouse_dy += row - self._last_xy[1]
+                        self._last_xy = (col, row)
+                    elif (btn & 3) != 3 and press:  # button down
+                        self.state.mouse_down = True
+                        self._last_xy = (col, row)
+                    else:  # release
+                        self.state.mouse_down = False
+                        self._last_xy = None
+                    i = m.end()
+                    continue
                 key = _ESCAPE_SEQS.get(buf[i + 1 : i + 3])
                 if key:
                     self.state.pressed.append(key)

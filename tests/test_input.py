@@ -56,3 +56,63 @@ def test_camera_integration():
     for k in st.pressed:
         cam.key_up(k)
     assert cam.yaw != y0  # left arrow turned the camera
+
+
+def test_sgr_mouse_drag_deltas():
+    """SGR drag: press at (10,5), motion to (14,8) then (13,8) — deltas
+    accumulate over the frame; release clears the anchor."""
+    ti = make()
+    st = ti.feed("\x1b[<0;10;5M")         # left press
+    assert st.mouse_down and st.mouse_dx == 0 and st.mouse_dy == 0
+    st = ti.feed("\x1b[<32;14;8M\x1b[<32;13;8M")  # drag motion
+    assert (st.mouse_dx, st.mouse_dy) == (3, 3)   # (4-1, 3+0)
+    assert st.mouse_down
+    st = ti.feed("\x1b[<0;13;8m")          # release
+    assert not st.mouse_down
+    # new frame: deltas are edges, cleared by poll
+    st = ti.feed("")
+    assert (st.mouse_dx, st.mouse_dy) == (0, 0)
+
+
+def test_sgr_mouse_is_not_a_bare_escape():
+    st = make().feed("\x1b[<0;1;1M\x1b[<0;1;1m")
+    assert not st.quit and not st.pressed
+
+
+def test_mouse_drag_drives_camera_yaw_pitch():
+    from multi_adapter_particles_tpu.render.camera import Camera
+
+    cam = Camera()
+    y0, p0 = cam.yaw, cam.pitch
+    ti = make()
+    ti.feed("\x1b[<0;10;5M")
+    st = ti.feed("\x1b[<32;30;2M")
+    cam.drag(st.mouse_dx, st.mouse_dy)
+    assert cam.yaw != y0 and cam.pitch != p0
+    # pitch clamp holds under a huge drag
+    cam.drag(0, -10000)
+    import math
+    assert abs(cam.pitch) <= math.pi / 4 + 1e-9
+
+
+def test_pty_mouse_roundtrip():
+    """End-to-end through a REAL pty: cbreak entry, injected SGR drag
+    bytes, decoded deltas (the non-feed path: select + os.read)."""
+    import os
+    import pty
+    import time
+
+    master, slave = pty.openpty()
+    stream = os.fdopen(slave, "rb", buffering=0)
+    try:
+        ti = TerminalInput(stream=stream)
+        with ti:
+            assert ti._fd is not None  # really went cbreak on the pty
+            os.write(master, b"\x1b[<0;10;5M\x1b[<32;12;9M")
+            time.sleep(0.05)
+            st = ti.poll()
+        assert st.mouse_down
+        assert (st.mouse_dx, st.mouse_dy) == (2, 4)
+    finally:
+        stream.close()
+        os.close(master)

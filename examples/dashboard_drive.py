@@ -84,6 +84,24 @@ def main():
     assert after["numdraw"] == N // 2 and after["vsync"] is True
     assert app.app.particle_size == 7.5  # the frame loop saw the writes
 
+    # Click ON the streamed frame (imgui-in-the-window parity): aim at
+    # the intensity slider's bar in the composited panel — the server
+    # hit-tests the pixel against the panel geometry and queues the same
+    # control write a /set would.
+    from multi_adapter_particles_tpu.utils import overlay
+    from multi_adapter_particles_tpu.utils.dashboard import render_ansi
+
+    lines = render_ansi(app, clear=False).splitlines()
+    li = next(i for i, l in enumerate(lines) if l.startswith("intensity"))
+    b1 = lines[li].index("]")
+    cx = overlay.TEXT_X + (b1 - 1) * overlay.CHAR_W + 2
+    cy = overlay.TEXT_Y + li * overlay.LINE_H + 3
+    act = json.loads(get(base, f"/click?x={cx}&y={cy}"))
+    print(f"click on frame ({cx},{cy}) -> {act}")
+    assert act["name"] == "intensity"
+    pump(app, server, 2)
+    assert abs(app.app.particle_intensity - float(act["value"])) < 1e-6
+
     # The demo-window analog: frames stream as multipart PNG parts.
     req = urllib.request.urlopen(base + "/stream", timeout=5)
     pump(app, server, 6)
@@ -101,7 +119,7 @@ def main():
     server.close()
     app.shutdown()
     print("dashboard round-trip: sliders -> /set -> drain -> /state, "
-          "frames -> /stream — OK")
+          "frames -> /stream, clicks-on-frame -> /click — OK")
 
 
 if __name__ == "__main__":

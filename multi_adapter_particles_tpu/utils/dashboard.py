@@ -242,6 +242,27 @@ class DashboardServer:
                     with dash._lock:
                         dash._pending.append((name, value))
                     self._send(b"ok", "text/plain")
+                elif url.path == "/click":
+                    # click ON the streamed frame (imgui-in-the-window
+                    # parity, `WindowProc.cpp:39-42`): map the pixel to
+                    # the composited panel's widget and queue the same
+                    # (name, value) a /set would
+                    q = urllib.parse.parse_qs(url.query)
+                    try:
+                        x = int((q.get("x") or ["-1"])[0])
+                        y = int((q.get("y") or ["-1"])[0])
+                    except ValueError:
+                        x = y = -1
+                    act = dash.click(x, y)
+                    if act is None:
+                        self._send(b"miss", "text/plain")
+                    else:
+                        self._send(
+                            json.dumps(
+                                {"name": act[0], "value": act[1]}
+                            ).encode(),
+                            "application/json",
+                        )
                 else:
                     self._send(b"not found", "text/plain", 404)
 
@@ -280,6 +301,16 @@ setInterval(() => {{
     document.getElementById('panel').textContent = s.panel;
   }});
 }}, 1000);
+// clicks ON the frame drive the composited panel's widgets (the
+// imgui-in-the-window analog): scale the click from the displayed
+// size back to native frame pixels and let the server hit-test it
+document.getElementById('frame').addEventListener('click', e => {{
+  const t = e.target, r = t.getBoundingClientRect();
+  const sx = (t.naturalWidth || r.width) / r.width;
+  const sy = (t.naturalHeight || r.height) / r.height;
+  fetch('/click?x=' + Math.round((e.clientX - r.left) * sx)
+        + '&y=' + Math.round((e.clientY - r.top) * sy));
+}});
 </script></body>"""
 
     def state_json(self) -> str:
@@ -370,6 +401,21 @@ setInterval(() => {{
         finally:
             with self._stream_cond:
                 self._stream_clients -= 1
+
+    def click(self, x: int, y: int):
+        """Hit-test a frame-pixel click against the composited panel and
+        queue the resolved control write (None on a miss). HTTP-thread
+        safe: reads panel state, queues; `drain()` mutates."""
+        from multi_adapter_particles_tpu.utils.overlay import hit_test
+
+        act = hit_test(
+            render_ansi(self.particles, clear=False), x, y,
+            self.particles.app.num_particles,
+        )
+        if act is not None:
+            with self._lock:
+                self._pending.append(act)
+        return act
 
     # -- frame-loop side -------------------------------------------------------
     def drain(self) -> int:

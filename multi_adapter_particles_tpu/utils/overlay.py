@@ -143,3 +143,93 @@ def composite_panel(frame, panel_text: str) -> np.ndarray:
     else:
         arr = arr.copy()
     return draw_text(arr, panel_text)
+
+
+# -- click-on-frame hit testing ---------------------------------------------------
+#
+# The reference's panel is clickable INSIDE the render window: Win32
+# messages go to imgui first (`WindowProc.cpp:39-42`), whose widgets
+# live at known layout positions (`Particles.cpp:309-421`). The analog:
+# the panel `draw_text` composites into the frame has fully deterministic
+# geometry (TEXT_X/TEXT_Y origin, 6 px per character cell, 9 px per
+# line), so a click on the STREAMED IMAGE maps back to a (line, column)
+# of the very panel text that was drawn — and from there to the same
+# named control the HTTP widgets drive (`runtime/controls.py`).
+
+TEXT_X = 6
+TEXT_Y = 6
+CHAR_W = GLYPH_W + 1   # 6 px per character cell (1 px tracking)
+LINE_H = GLYPH_H + 2   # 9 px per text line (2 px leading)
+
+# panel slider label -> (control name, lo, hi or None=num_particles)
+_SLIDER_CONTROLS = {
+    "size": ("size", 0.0, 10.0),
+    "intensity": ("intensity", 0.0, 1.0),
+    "simulated": ("numsim", 0, None),
+    "copied": ("numcopy", 0, None),
+    "rendered": ("numdraw", 0, None),
+}
+_CHECKBOX_CONTROLS = {"linked", "vsync", "fullscreen", "ext", "draw"}
+
+
+def hit_test(panel_text: str, px: int, py: int, num_particles: int):
+    """Click at frame pixel (px, py) on the composited panel -> a
+    `(control_name, value_string)` for `runtime.controls.apply_control`,
+    or None when it misses every widget.
+
+    Widgets, mirroring `render_ansi`'s layout:
+    - slider rows (`label [####----] v`): clicking inside the bracket
+      bar sets the value proportionally (imgui slider-drag semantics);
+    - the checkbox row (`[x] linked  [ ] vsync ...`): clicking a box or
+      its label toggles it;
+    - adapter rows (`  [CR] i: ...`): the C column assigns that adapter
+      the compute role, anywhere else on the row the render role (the
+      two imgui list boxes, `Particles.cpp:339-352`).
+    """
+    col = (px - TEXT_X) // CHAR_W
+    line_i = (py - (TEXT_Y - 1)) // LINE_H
+    lines = panel_text.splitlines()
+    if not (0 <= line_i < len(lines)) or col < 0:
+        return None
+    text = lines[line_i]
+    if col >= len(text):
+        return None
+
+    # slider rows
+    label = text[:12].strip().lower()
+    if label in _SLIDER_CONTROLS and "[" in text:
+        b0 = text.index("[") + 1
+        b1 = text.index("]", b0)
+        if b0 - 1 <= col <= b1:
+            name, lo, hi = _SLIDER_CONTROLS[label]
+            if hi is None:
+                hi = num_particles
+            t = (col - b0 + 0.5) / max(b1 - b0, 1)
+            t = max(0.0, min(1.0, t))
+            v = lo + t * (hi - lo)
+            return (name, str(int(round(v))) if hi == num_particles
+                    else f"{v:.2f}")
+
+    # checkbox row(s): every "[x] label" / "[ ] label" segment
+    i = 0
+    while True:
+        i = text.find("[", i)
+        if i < 0 or i + 2 >= len(text):
+            break
+        if text[i + 2] == "]" and text[i + 1] in " x":
+            rest = text[i + 4:]
+            word = rest.split()[0].lower() if rest.split() else ""
+            if word in _CHECKBOX_CONTROLS:
+                end = i + 4 + len(word)
+                if i <= col < end:
+                    return (word, "0" if text[i + 1] == "x" else "1")
+        i += 1
+
+    # adapter rows: "  [CR] idx: platform description"
+    if text.startswith("  [") and len(text) > 6 and text[5] == "]":
+        after = text[6:].strip()
+        idx = after.split(":", 1)[0].strip()
+        if idx.isdigit():
+            role = "computeadapter" if col <= 3 else "renderadapter"
+            return (role, idx)
+    return None

@@ -902,10 +902,22 @@ class Renderer:
     def raise_dup_for(self, out: FrameOutput) -> bool:
         """Grow the dup window to a frame's measured max sprite span.
 
-        Returns True if the window grew (the frame that produced `out` lost
-        tiles; a re-render with the new window is lossless). Reads the
-        span scalars from the device — call on an already-materialized
-        frame (present) or when a sync is acceptable.
+        Reads the span scalars from the device — separate host reads;
+        over the axon tunnel each is a full ~35 ms round trip (72 ms
+        /present measured @262K, experiments/render_dispatch.py), so the
+        hot path (`RenderEngine.present`) packs the fence + scalars into
+        ONE device_get (`_present_probe`) and calls `raise_dup_values`.
+        """
+        return self.raise_dup_values(
+            int(out.truncated), int(out.span_y), int(out.span_x)
+        )
+
+    def raise_dup_values(self, truncated: int, span_y: int,
+                         span_x: int) -> bool:
+        """`raise_dup_for` on already-pulled host scalars.
+
+        Returns True if the window grew (the frame that produced them lost
+        tiles; a re-render with the new window is lossless).
 
         The growth is bounded by `entry_budget`: sort entries = N x dup,
         so one near-camera sprite must not multiply a multi-million-
@@ -914,12 +926,12 @@ class Renderer:
         budget the raise is lossless; beyond it the frame stays truncated
         and counted — small-N close-ups (the GUI size-10 case) always fit.
         """
-        if int(out.truncated) == 0:
+        if truncated == 0:
             return False
         gh = self.config.height // TILE_H
         gw = self.config.width // TILE_W
-        new_y = max(self.dup_y, min(int(out.span_y), gh))
-        new_x = max(self.dup_x, min(int(out.span_x), gw))
+        new_y = max(self.dup_y, min(int(span_y), gh))
+        new_x = max(self.dup_x, min(int(span_x), gw))
         # Budget against the actual per-dispatch sort size: chunked frames
         # sort chunk_size*dup entries at a time, so dividing by the FULL
         # particle count would under-raise (dup=4 at 16.8M when each chunk

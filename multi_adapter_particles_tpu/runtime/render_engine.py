@@ -43,6 +43,26 @@ def _splice(local: jax.Array, incoming: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(local, incoming, (0, 0))
 
 
+@jax.jit
+def _present_probe(frame, truncated, span_y, span_x):
+    """[4] f32 carrying (frame anchor, truncated, span_y, span_x).
+
+    present() needs BOTH a completion fence on the frame and the
+    auto-raise scalars; read separately each costs a full host round
+    trip (~35 ms each over the axon tunnel — measured 72 ms/present
+    @262K, experiments/render_dispatch.py). Packing them into one tiny
+    dependent array makes present a SINGLE device_get: the first element
+    depends on the frame data, so materializing it IS the fence (the
+    1-element host round-trip `utils.timers.sync` uses — Pallas-safe)."""
+    anchor = frame.ravel()[0].astype(jnp.float32) * 0.0
+    return jnp.stack([
+        anchor,
+        truncated.astype(jnp.float32),
+        span_y.astype(jnp.float32),
+        span_x.astype(jnp.float32),
+    ])
+
+
 class RenderEngine:
     def __init__(
         self,
@@ -158,15 +178,31 @@ class RenderEngine:
     # -- present ---------------------------------------------------------------------
     def present(self) -> Optional[FrameOutput]:
         """Block until the last frame is really finished — the
-        latency-waitable-swapchain host wait (`Particles.cpp:452-456`)."""
-        if self._frame is not None:
-            sync(self._frame.frame)
+        latency-waitable-swapchain host wait (`Particles.cpp:452-456`).
+
+        One packed host read carries the fence AND the auto-raise
+        scalars (`_present_probe`): the separate fence + int(truncated)
+        reads measured 72 ms/present over the tunnel (two round trips —
+        experiments/render_dispatch.py)."""
+        f = self._frame
+        if f is not None:
             if self.renderer.auto_raise_dup:
+                vals = np.asarray(
+                    jax.device_get(
+                        _present_probe(
+                            f.frame, f.truncated, f.span_y, f.span_x
+                        )
+                    )
+                )
                 # Deferred auto-raise: a truncating frame (sprite bigger
                 # than the dup window) grows the window for FUTURE frames.
                 # The already-presented frame is not re-rendered — the next
                 # one is lossless (one recompile per growth).
-                self.renderer.raise_dup_for(self._frame)
+                self.renderer.raise_dup_values(
+                    int(vals[1]), int(vals[2]), int(vals[3])
+                )
+            else:
+                sync(f.frame)
         return self._frame
 
     @property

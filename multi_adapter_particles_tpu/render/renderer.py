@@ -694,9 +694,19 @@ class Renderer:
         self._arg_key = None
         self._arg_dev = None
         # Chunked-composite sizing: states above the threshold render in
-        # `chunk_size`-particle chunks (bounded memory at any N).
-        self.chunk_threshold = 6_291_456
-        self.chunk_size = 4_194_304
+        # `chunk_size`-particle chunks (bounded memory at any N — and
+        # FASTER at large N: the comparator sort is O(E log² E), so k
+        # smaller sorts beat one big one once per-chunk fixed costs are
+        # amortized). Measured @4M/1024² 2026-08-19
+        # (experiments/render_chunk4m.py, per-frame-synced wall):
+        # single-pass 187.3 ms | 2M chunks 181.8 | 1M chunks 173.7 |
+        # 512K chunks 275.3 (fixed costs blow up) — frames equal to
+        # 3e-7 (fold reassociation only). Single-pass stays optimal at
+        # <=1M (the 1M anchor is 36.4 ms; a ~2.5 ms/chunk fixed cost
+        # would eat the smaller sorts' savings), so the threshold sits
+        # between the 1M and 4M measured points.
+        self.chunk_threshold = 3_145_728
+        self.chunk_size = 1_048_576
         # Auto-raise budget: dup growth may not push N x dup sort entries
         # past this (see raise_dup_for).
         self.entry_budget = 64 * 1024 * 1024

@@ -425,5 +425,161 @@ def main():
                   f"(rel {d.max()/scale:.3e})", flush=True)
 
 
+def main_v7():
+    """Round-4 bounded retry (VERDICT r3 #8): the banded static
+    half-pair A/B'd against production v0 at any N (default 1M)."""
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_048_576
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (4, n), jnp.float32, -400.0, 400.0)
+    pos = pos.at[3].set(0.0)
+    print(f"v7 A/B: N={n}, backend={jax.default_backend()}", flush=True)
+
+    def v0(p):
+        return allpairs.all_pairs_accel_pallas(
+            p, mass=MASS, softening_squared=EPS2)
+
+    o0 = timeit("v0 baseline", v0, pos, n)
+    best = None
+    for t, kb in ((512, 64), (512, 128), (512, 256), (256, 256)):
+        if n % t or (n // t) < 1:
+            continue
+        o = timeit(f"v7 banded t={t} kb={kb}",
+                   lambda p, tt=t, kk=kb: v7_accel(p, t=tt, kb=kk), pos, n)
+        if o is not None and o0 is not None:
+            a0 = np.asarray(o0)[:3]
+            a = np.asarray(o)[:3]
+            rel = np.abs(a - a0).max() / np.abs(a0).max()
+            print(f"   vs v0 rel {rel:.3e}", flush=True)
+
+
+
+
+
+
+def _v7_kernel(pos_hbm, posT_i, iacc_out, jacc_out, buf, jacc, iacc, sem, *,
+               j0_tiles, kb, tj, eps2):
+    """Banded static half-pair (round 4, VERDICT #8 retry): the 0.193
+    static-loop + predicated-body structure, with the j-side accumulator
+    holding ONE BAND of kb j-tiles in VMEM (4*kb*tj floats) instead of
+    the whole [4, N] (which hits the 16 MiB scoped limit past ~250K).
+    One pallas_call per band; i-partials sum across bands by linearity."""
+    pid = pl.program_id(0)            # i-tile index, 0..ni-1 (ni = j0+kb)
+    xi = posT_i[:, 0:1]
+    yi = posT_i[:, 1:2]
+    zi = posT_i[:, 2:3]
+
+    @pl.when(pid == 0)
+    def _():
+        jacc[...] = jnp.zeros_like(jacc)
+
+    iacc[...] = jnp.zeros_like(iacc)
+
+    def dma(slot, jloc):
+        return pltpu.make_async_copy(
+            pos_hbm.at[:, pl.ds((j0_tiles + jloc) * tj, tj)],
+            buf.at[slot], sem.at[slot])
+
+    jloc0 = jnp.maximum(pid - j0_tiles, 0)
+    dma(jax.lax.rem(jloc0, 2), jloc0).start()
+
+    def body(jloc, _):
+        @pl.when(j0_tiles + jloc >= pid)
+        def _():
+            slot = jax.lax.rem(jloc, 2)
+
+            @pl.when(jloc + 1 < kb)
+            def _():
+                dma(1 - slot, jloc + 1).start()
+
+            dma(slot, jloc).wait()
+            tile = buf[slot]
+            xj = tile[0:1, :]
+            yj = tile[1:2, :]
+            zj = tile[2:3, :]
+            dx = xj - xi
+            dy = yj - yi
+            dz = zj - zi
+            d2 = dx * dx + dy * dy + dz * dz + jnp.float32(eps2)
+            inv = jax.lax.rsqrt(d2)
+            s = inv * inv * inv
+            tx = dx * s
+            ty = dy * s
+            tz = dz * s
+            iacc[:, 0:1] += jnp.sum(tx, axis=1, keepdims=True)
+            iacc[:, 1:2] += jnp.sum(ty, axis=1, keepdims=True)
+            iacc[:, 2:3] += jnp.sum(tz, axis=1, keepdims=True)
+
+            @pl.when(j0_tiles + jloc > pid)
+            def _():
+                sl = pl.ds(jloc * tj, tj)
+                jacc[0, sl] -= jnp.sum(tx, axis=0)
+                jacc[1, sl] -= jnp.sum(ty, axis=0)
+                jacc[2, sl] -= jnp.sum(tz, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, kb, body, 0)
+    iacc_out[:, :] = iacc[...]
+
+    ni = j0_tiles + kb
+
+    @pl.when(pid == ni - 1)
+    def _():
+        jacc_out[...] = jacc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("t", "kb"))
+def v7_accel(position, t=512, kb=128):
+    """Half-pair at ANY N: one banded triangle pass per kb-j-tile band."""
+    n = position.shape[1]
+    posT = position.T
+    nt = n // t
+    acc = jnp.zeros((3, n), jnp.float32)
+    for j0 in range(0, nt, kb):
+        kbb = min(kb, nt - j0)
+        ni = j0 + kbb                      # i-tiles participating
+        nb = kbb * t                       # band width in particles
+        kernel = functools.partial(_v7_kernel, j0_tiles=j0, kb=kbb,
+                                   tj=t, eps2=EPS2)
+        iacc, jacc = pl.pallas_call(
+            kernel,
+            grid=(ni,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((t, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, nb), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ni * t, 4), jnp.float32),
+                jax.ShapeDtypeStruct((4, nb), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, 4, t), jnp.float32),
+                            pltpu.VMEM((4, nb), jnp.float32),
+                            pltpu.VMEM((t, 4), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=int(ni * t) * nb * 10,
+                bytes_accessed=int(ni * t) * 16 + nb * 16,
+                transcendentals=int(ni * t) * nb // 2),
+            interpret=interpret_flag(),
+        )(position, posT)
+        acc = acc.at[:, : ni * t].add(iacc.T[:3])
+        acc = acc.at[:, j0 * t: j0 * t + nb].add(jacc[:3])
+    a3 = acc * jnp.float32(MASS)
+    amag = jnp.sqrt(jnp.sum(a3 * a3, axis=0, keepdims=True))
+    return jnp.concatenate([a3, amag], axis=0)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "v7":
+        main_v7()
+    else:
+        main()

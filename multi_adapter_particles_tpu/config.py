@@ -77,6 +77,14 @@ class SimConfig:
     # Worth it for G >= 256 (the doubled spectrum alone is 540 MB); needs
     # the inner mesh axis to divide the grid.
     pm_distributed_fft: bool = False
+    # all_pairs only: the Newton-3rd half-pair schedule — each pair plane
+    # computed once, applied to both sides (+12.3% measured @1M; see
+    # ops/allpairs.all_pairs_accel_halfpair). OPT-IN because its
+    # accumulation order differs from the default rectangle kernel
+    # (trajectories not bitwise comparable across the two kernels; each
+    # is individually deterministic). Single-chip only — the multi-chip
+    # ring keeps the rectangle kernel.
+    all_pairs_half: bool = False
 
     def __post_init__(self):
         if self.num_particles <= 0:

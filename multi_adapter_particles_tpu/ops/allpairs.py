@@ -216,19 +216,185 @@ def make_accel_fn(
     interaction_scale: float = 1.0,
     ti: int = DEFAULT_TI,
     tj: int = DEFAULT_TJ,
+    half: bool = False,
 ):
     """Adapter matching the integrator's accel_fn signature
-    (position [4, Np] -> accel [3, Np])."""
+    (position [4, Np] -> accel [3, Np]). `half` opts into the
+    Newton-3rd half-pair schedule (`all_pairs_accel_halfpair`)."""
 
     def accel_fn(position: jax.Array) -> jax.Array:
-        out = all_pairs_accel_pallas(
-            position,
-            mass=mass,
-            softening_squared=softening_squared,
-            interaction_scale=interaction_scale,
-            ti=ti,
-            tj=tj,
-        )
+        if half:
+            out = all_pairs_accel_halfpair(
+                position,
+                mass=mass,
+                softening_squared=softening_squared,
+                interaction_scale=interaction_scale,
+            )
+        else:
+            out = all_pairs_accel_pallas(
+                position,
+                mass=mass,
+                softening_squared=softening_squared,
+                interaction_scale=interaction_scale,
+                ti=ti,
+                tj=tj,
+            )
         return out[:3]
 
     return accel_fn
+
+
+# -- Newton-3rd half-pair schedule (opt-in) ---------------------------------------
+#
+# Each [T, T] pair plane is computed ONCE for tile pairs j >= i and applied
+# to BOTH sides (the symmetry `bodyBodyInteraction`'s full rectangle never
+# exploited, nBodyGravityCS.hlsl:44-57): the i-side as lane reductions, the
+# j-side as negated sublane reductions into a VMEM accumulator that holds
+# ONE BAND of `kb` j-tiles (the whole [4, N] hits the 16 MiB scoped-VMEM
+# roof past ~250K — the round-3 rejection). One pallas_call per band;
+# i-side partials add across bands by linearity.
+#
+# Measured @1M (v5e fp32, 2026-08-19, experiments/allpairs_halfpair.py v7):
+# 0.216 Tpairs/s vs the rectangle kernel's 0.192 = +12.3% (t=512, kb flat
+# 64-256); t=256 REGRESSES to 0.171 — half-tiles double per-tile costs.
+# Results differ from the rectangle kernel only by accumulation order
+# (rel ~2.5e-6 @1M) — opt-in because trajectories are NOT bitwise
+# comparable with the default kernel (each variant is individually
+# deterministic run-to-run).
+
+_HALF_T = 512   # measured optimum; 256 regresses
+_HALF_KB = 128  # j-tiles per VMEM band (4*kb*t floats = 1 MiB at defaults)
+
+
+def _halfpair_kernel(pos_hbm, posT_i, iacc_out, jacc_out, buf, jacc, iacc,
+                     sem, *, j0_tiles, kb, tj, eps2):
+    pid = pl.program_id(0)            # i-tile index, 0..(j0_tiles + kb - 1)
+    xi = posT_i[:, 0:1]
+    yi = posT_i[:, 1:2]
+    zi = posT_i[:, 2:3]
+
+    @pl.when(pid == 0)
+    def _():
+        jacc[...] = jnp.zeros_like(jacc)
+
+    iacc[...] = jnp.zeros_like(iacc)
+
+    def dma(slot, jloc):
+        return pltpu.make_async_copy(
+            pos_hbm.at[:, pl.ds((j0_tiles + jloc) * tj, tj)],
+            buf.at[slot], sem.at[slot])
+
+    jloc0 = jnp.maximum(pid - j0_tiles, 0)
+    dma(jax.lax.rem(jloc0, 2), jloc0).start()
+
+    def body(jloc, _):
+        # static loop + predicated body: the 0.193 structure from the
+        # round-3 sweep (dynamic lower bounds measured 8% slower)
+        @pl.when(j0_tiles + jloc >= pid)
+        def _():
+            slot = jax.lax.rem(jloc, 2)
+
+            @pl.when(jloc + 1 < kb)
+            def _():
+                dma(1 - slot, jloc + 1).start()
+
+            dma(slot, jloc).wait()
+            tile = buf[slot]
+            dx = tile[0:1, :] - xi
+            dy = tile[1:2, :] - yi
+            dz = tile[2:3, :] - zi
+            d2 = dx * dx + dy * dy + dz * dz + jnp.float32(eps2)
+            inv = jax.lax.rsqrt(d2)
+            s = inv * inv * inv
+            tx = dx * s
+            ty = dy * s
+            tz = dz * s
+            iacc[:, 0:1] += jnp.sum(tx, axis=1, keepdims=True)
+            iacc[:, 1:2] += jnp.sum(ty, axis=1, keepdims=True)
+            iacc[:, 2:3] += jnp.sum(tz, axis=1, keepdims=True)
+
+            @pl.when(j0_tiles + jloc > pid)
+            def _():
+                sl = pl.ds(jloc * tj, tj)
+                jacc[0, sl] -= jnp.sum(tx, axis=0)
+                jacc[1, sl] -= jnp.sum(ty, axis=0)
+                jacc[2, sl] -= jnp.sum(tz, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, kb, body, 0)
+    iacc_out[:, :] = iacc[...]
+
+    @pl.when(pid == j0_tiles + kb - 1)
+    def _():
+        jacc_out[...] = jacc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mass", "softening_squared", "interaction_scale",
+                     "t", "kb"),
+)
+def all_pairs_accel_halfpair(
+    position: jax.Array,
+    mass: float,
+    softening_squared: float,
+    interaction_scale: float = 1.0,
+    t: int = _HALF_T,
+    kb: int = _HALF_KB,
+) -> jax.Array:
+    """position [4, N] -> [4, N] (ax, ay, az, |a|) via the half-pair
+    schedule. Same contract as `all_pairs_accel_pallas` with
+    sources == position (the triangle needs the symmetric set; the
+    multi-chip ring keeps the rectangle kernel). Falls back to the
+    rectangle kernel when N doesn't tile into t-wide bands."""
+    n = position.shape[1]
+    if n % t or n // t < 2:
+        return all_pairs_accel_pallas(
+            position, mass=mass, softening_squared=softening_squared,
+            interaction_scale=interaction_scale)
+    posT = position.T
+    nt = n // t
+    acc = jnp.zeros((3, n), jnp.float32)
+    for j0 in range(0, nt, kb):
+        kbb = min(kb, nt - j0)
+        ni = j0 + kbb
+        nb = kbb * t
+        kernel = functools.partial(
+            _halfpair_kernel, j0_tiles=j0, kb=kbb, tj=t,
+            eps2=float(softening_squared))
+        iacc, jacc = pl.pallas_call(
+            kernel,
+            grid=(ni,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((t, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, nb), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ni * t, 4), jnp.float32),
+                jax.ShapeDtypeStruct((4, nb), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, 4, t), jnp.float32),
+                            pltpu.VMEM((4, nb), jnp.float32),
+                            pltpu.VMEM((t, 4), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=int(ni * t) * nb * 10,
+                bytes_accessed=int(ni * t) * 16 + nb * 16,
+                transcendentals=int(ni * t) * nb // 2),
+            interpret=interpret_flag(),
+        )(position, posT)
+        acc = acc.at[:, : ni * t].add(iacc.T[:3])
+        acc = acc.at[:, j0 * t: j0 * t + nb].add(jacc[:3])
+    a3 = acc * jnp.float32(float(mass) * float(interaction_scale))
+    amag = jnp.sqrt(jnp.sum(a3 * a3, axis=0, keepdims=True))
+    return jnp.concatenate([a3, amag], axis=0)

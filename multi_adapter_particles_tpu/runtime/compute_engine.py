@@ -104,6 +104,7 @@ class ComputeEngine:
                 mass=cfg.mass,
                 softening_squared=cfg.softening_squared,
                 interaction_scale=cfg.interaction_scale,
+                half=cfg.all_pairs_half,
             )
         return integrator.make_step(cfg, accel_fn=accel_fn, donate=donate)
 

@@ -92,6 +92,7 @@ class FusedEngine:
                     mass=cfg.mass,
                     softening_squared=cfg.softening_squared,
                     interaction_scale=cfg.interaction_scale,
+                    half=cfg.all_pairs_half,
                 )
             inner = integrator.make_step(cfg, accel_fn=accel_fn, donate=False)
             # unwrap: we re-jit the fused whole; calling the jitted inner

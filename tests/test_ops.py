@@ -131,3 +131,91 @@ class TestOddTileCount:
         np.testing.assert_allclose(
             np.asarray(a)[:3], np.asarray(b), rtol=1e-4, atol=1e-2
         )
+
+
+class TestHalfPairKernel:
+    """Newton-3rd half-pair schedule (`all_pairs_accel_halfpair`) — the
+    opt-in +12%-@1M kernel landed in round 4 (BASELINE.md axis close)."""
+
+    def _pos(self, n, seed=0):
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(seed)
+        p = jax.random.uniform(key, (4, n), jnp.float32, -400.0, 400.0)
+        return p.at[3].set(0.0)
+
+    def test_matches_rectangle_kernel(self):
+        from multi_adapter_particles_tpu.ops.allpairs import (
+            all_pairs_accel_halfpair,
+        )
+
+        n = 2048
+        pos = self._pos(n)
+        a0 = np.asarray(all_pairs_accel_pallas(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED))
+        ah = np.asarray(all_pairs_accel_halfpair(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED, t=512, kb=2))
+        scale = np.abs(a0[:3]).max()
+        assert np.abs(ah[:3] - a0[:3]).max() / scale < 5e-6
+        # |a| channel filled too (the color magnitude)
+        np.testing.assert_allclose(
+            ah[3], np.sqrt((ah[:3] ** 2).sum(0)), rtol=1e-6)
+
+    def test_multi_band_matches_single_band(self):
+        from multi_adapter_particles_tpu.ops.allpairs import (
+            all_pairs_accel_halfpair,
+        )
+
+        n = 4096  # 8 tiles of 512
+        pos = self._pos(n, seed=3)
+        a1 = np.asarray(all_pairs_accel_halfpair(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED, t=512, kb=8))
+        a2 = np.asarray(all_pairs_accel_halfpair(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED, t=512, kb=2))
+        scale = np.abs(a1[:3]).max()
+        assert np.abs(a2[:3] - a1[:3]).max() / scale < 5e-6
+
+    def test_untileable_n_falls_back_to_rectangle(self):
+        from multi_adapter_particles_tpu.ops.allpairs import (
+            all_pairs_accel_halfpair,
+        )
+
+        n = 640  # not a multiple of 512
+        pos = self._pos(n, seed=5)
+        a0 = np.asarray(all_pairs_accel_pallas(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED))
+        ah = np.asarray(all_pairs_accel_halfpair(
+            pos, mass=C.PARTICLE_MASS,
+            softening_squared=C.SOFTENING_SQUARED))
+        np.testing.assert_array_equal(ah, a0)  # same kernel, bitwise
+
+    def test_engine_flag_wires_through(self):
+        """SimConfig(all_pairs_half=True) steps finitely and tracks the
+        rectangle-kernel trajectory to fp tolerance."""
+        from multi_adapter_particles_tpu.config import SimConfig
+        from multi_adapter_particles_tpu.models import init as pinit
+        from multi_adapter_particles_tpu.ops import dispatch
+        from multi_adapter_particles_tpu.runtime.compute_engine import (
+            ComputeEngine,
+        )
+
+        n = 1024
+        dev = jax.devices()[0]
+        states = {}
+        for half in (False, True):
+            cfg = SimConfig(num_particles=n, force_model="all_pairs",
+                            all_pairs_half=half)
+            eng = ComputeEngine(cfg, dev, seed=7, use_pallas=True)
+            for _ in range(3):
+                eng.simulate()
+            eng.wait_for_gpu()
+            states[half] = np.asarray(eng.state.position)
+        assert np.isfinite(states[True]).all()
+        scale = np.abs(states[False][:3]).max()
+        assert np.abs(states[True][:3] - states[False][:3]).max() / scale \
+            < 1e-5

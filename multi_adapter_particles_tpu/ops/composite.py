@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from multi_adapter_particles_tpu.ops.dispatch import interpret_flag
 
 
-def _kernel(sp_ref, base_ref, out_ref, *, q_len, tile_h, tile_w, blend):
+def _kernel(ng_ref, sp_ref, base_ref, out_ref, *, q_len, tile_h, tile_w,
+            blend):
     vb = out_ref.shape[2]
     px = tile_h * tile_w
 
@@ -71,8 +72,16 @@ def _kernel(sp_ref, base_ref, out_ref, *, q_len, tile_h, tile_w, blend):
 
     zero = jnp.zeros((px, vb), jnp.float32)
     one = jnp.ones((px, vb), jnp.float32)
+    # Dynamic trip count: this block only loops over Q-groups that hold a
+    # live slot in SOME of its rows (ng = max over the block's rows of
+    # ceil(row_hi/8), prefetched per block). Groups past every row's hi
+    # blend alpha-scale 0 -> exact identity (x*1 == x, +0 stays +0), so
+    # skipping them is bitwise-equal to the full loop; dead-tail blocks
+    # (ng == 0) write the identity carries outright. At 4M the virtual-row
+    # tail past row_end[-1] is ~40% of V — all skipped.
+    ng = ng_ref[pl.program_id(0)]
     cr, cg, cb, tt = jax.lax.fori_loop(
-        0, q_len // 8, blend_group, (zero, zero, zero, one)
+        0, ng, blend_group, (zero, zero, zero, one)
     )
     out_ref[0, :, :] = cr
     out_ref[1, :, :] = cg
@@ -90,8 +99,17 @@ def composite_rows_pallas(
     tile_w: int,
     blend: str = "over",
     vb: int = 512,
+    row_hi: jax.Array | None = None,  # [V] int32 live-slot bound per row
 ) -> jax.Array:
-    """-> [4, px, V]: premultiplied rgb + transmittance per virtual row."""
+    """-> [4, px, V]: premultiplied rgb + transmittance per virtual row.
+
+    `row_hi[v]` (optional) is the exclusive upper bound of row v's live
+    slots (the renderer's hi_k; 0 for dead rows). Slots at or past it
+    carry alpha-scale 0, so each grid block's Q loop runs only to the max
+    ceil(row_hi/8) over its rows — bitwise-equal to the full loop (zero
+    alpha blends as exact identity) but skipping the dead virtual-row
+    tail, ~40% of V at the 4M default. None -> every block loops full Q.
+    """
     _, q_len, v = sp.shape
     if q_len % 8:
         raise ValueError("Q must be a multiple of 8")
@@ -104,19 +122,30 @@ def composite_rows_pallas(
     vp = v + pad
     px = tile_h * tile_w
 
+    if row_hi is None:
+        blk_ng = jnp.full((vp // vb,), q_len // 8, jnp.int32)
+    else:
+        hi = jnp.clip(row_hi.astype(jnp.int32), 0, q_len)
+        if pad:
+            hi = jnp.pad(hi, (0, pad))
+        blk_hi = jnp.max(hi.reshape(vp // vb, vb), axis=1)
+        blk_ng = (blk_hi + 7) // 8
+
     kernel = functools.partial(
         _kernel, q_len=q_len, tile_h=tile_h, tile_w=tile_w, blend=blend
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(vp // vb,),
         in_specs=[
-            pl.BlockSpec((8, q_len, vb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, vb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, q_len, vb), lambda i, ng: (0, 0, i)),
+            pl.BlockSpec((2, vb), lambda i, ng: (0, i)),
         ],
-        out_specs=pl.BlockSpec((4, px, vb), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, px, vb), lambda i, ng: (0, 0, i)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, px, vp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -127,5 +156,5 @@ def composite_rows_pallas(
             transcendentals=int(vp) * int(q_len) * px,
         ),
         interpret=interpret_flag(),
-    )(sp, bases)
+    )(blk_ng, sp, bases)
     return out[:, :, :v] if pad else out

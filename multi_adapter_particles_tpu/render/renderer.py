@@ -436,7 +436,7 @@ def _render(
             ]
         )                               # [2, V] — arithmetic, no gather
         out4 = composite_rows_pallas(
-            jnp.stack(xs), bases, TILE_H, TILE_W, blend=blend
+            jnp.stack(xs), bases, TILE_H, TILE_W, blend=blend, row_hi=hi_k
         )
         cr_v = out4[0].T
         cg_v = out4[1].T

@@ -373,6 +373,36 @@ class TestSegQInvariance:
 
 
 class TestPallasComposite:
+    def test_row_hi_trip_count_bitwise(self):
+        """The dynamic per-block trip count (row_hi scalar prefetch) is
+        BITWISE equal to the full Q loop: slots at or past a row's hi
+        carry alpha-scale 0 and zero-alpha blending is an exact identity
+        (x*1 == x, +0 + 0 == +0). Random live windows, a dead row tail,
+        and a V that is not a multiple of the block width."""
+        import jax.numpy as jnp
+
+        from multi_adapter_particles_tpu.ops.composite import (
+            composite_rows_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        q, v = 32, 1100
+        sp = rng.uniform(-3, 3, size=(8, q, v)).astype(np.float32)
+        hi = rng.integers(0, q + 1, size=v).astype(np.int32)
+        hi[900:] = 0  # dead tail -> whole trailing blocks skip (ng == 0)
+        kk = np.arange(q)[:, None]
+        sp[7] = np.where(kk < hi[None, :], np.abs(sp[7]), 0.0)
+        bases = rng.uniform(0, 64, size=(2, v)).astype(np.float32)
+        sp_j, bases_j, hi_j = map(jnp.asarray, (sp, bases, hi))
+        for blend in ("over", "additive"):
+            full = composite_rows_pallas(sp_j, bases_j, 8, 16, blend=blend)
+            trip = composite_rows_pallas(
+                sp_j, bases_j, 8, 16, blend=blend, row_hi=hi_j
+            )
+            a, b = np.asarray(full), np.asarray(trip)
+            assert a.shape == b.shape == (4, 128, v)
+            np.testing.assert_array_equal(a, b)
+
     def test_kernel_matches_xla_scan(self):
         """composite_rows_pallas (interpret mode on CPU) == the XLA scan
         path, on a tiny scene."""

@@ -112,22 +112,28 @@ def _starts_two_level(sorted_key, num_queries, chunk=None):
     Equivalent to jnp.searchsorted(sorted_key, arange(nq), side="left"),
     but that lowers to a ~log2(E)-step while loop whose every step randomly
     gathers from the FULL entry array (2.3 ms/frame at 1M entries,
-    experiments/render_opprofile.py). Two-level instead: binary-search the
-    per-chunk minima (E/chunk elements — VMEM-resident), then gather ONE
-    boundary chunk row per query (ops/rowgather lane-packing) and count its
-    entries < k. Sorted order makes the split exact: every entry before
-    chunk c* is <= cm[c*] < k, every entry after it is >= cm[c*+1] >= k.
-    Keys are integer-valued f32 (exact < 2^24), so comparisons are exact."""
+    experiments/render_opprofile.py). Two-level instead: bound the query
+    into the per-chunk minima (E/chunk elements), then gather ONE boundary
+    chunk row per query (ops/rowgather lane-packing) and count its entries
+    < k. Sorted order makes the split exact: every entry before chunk c*
+    is <= cm[c*] < k, every entry after it is >= cm[c*+1] >= k. Keys are
+    integer-valued f32 (exact < 2^24), so comparisons are exact. The
+    level-1 bound itself rides pm._segment_bounds' merge-by-sort (two
+    ~(E/chunk + nq)-element sorts) rather than searchsorted over the
+    minima: the 15-step while loop + its 16 per-step gather fusions cost
+    ~1.75 ms/chunk at 4M/1024² (op-profile 2026-08-19) vs ~0.1 ms for the
+    merge — bitwise-identical starts."""
     if chunk is None:
         chunk = _STARTS_CHUNK
     e = sorted_key.shape[0]
     q = jnp.arange(num_queries, dtype=jnp.int32).astype(sorted_key.dtype)
     if not chunk or e % chunk:
         return jnp.searchsorted(sorted_key, q, side="left").astype(jnp.int32)
+    from multi_adapter_particles_tpu.ops.pm import _segment_bounds
     from multi_adapter_particles_tpu.ops.rowgather import gather_rows
 
     cm = sorted_key[::chunk]                              # [E/chunk]
-    cstar = jnp.searchsorted(cm, q, side="left").astype(jnp.int32) - 1
+    cstar = _segment_bounds(cm.astype(jnp.int32), num_queries - 1) - 1
     cc = jnp.maximum(cstar, 0)                            # clip: all-minima>=k
     rows = gather_rows(sorted_key.reshape(e // chunk, chunk), cc)
     cnt = jnp.sum((rows < q[:, None]).astype(jnp.int32), axis=1)
@@ -241,28 +247,35 @@ def _render(
     # clamp cg below f16-inf: the blend clips source terms to [0, 1] anyway,
     # and an f16 inf would NaN-poison dead slots through `inf * 0`
     cgc = jnp.clip(cg, 0.0, 6.0e4)
-    cgb = (
-        jnp.left_shift(
-            cgc.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32), 16
-        )
-        | cb.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
-    ).view(jnp.float32)
+
+    def pack_cgb(gv, bv):  # (cg, cb) f32 -> two f16 halves of one u32 lane
+        return (
+            jnp.left_shift(
+                gv.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32),
+                16,
+            )
+            | bv.astype(jnp.float16).view(jnp.uint16).astype(jnp.uint32)
+        ).view(jnp.float32)
 
     def expand(a):  # per-particle [Np] -> per-entry [E] (dup consecutive)
         return jnp.broadcast_to(a[:, None], (n, dup)).reshape(-1)
 
     # Entry expansion (e = p*dup + k). The broadcast->reshape form writes
-    # [Np, dup] tiles 128/dup-padded (~0.4 ms per operand at 1M entries);
-    # when dup divides 128 the interleave is instead ONE exact 0/1
-    # permutation matmul per operand on the MXU: out2d[r, c] =
+    # [Np, dup] tiles 128/dup-padded (~0.4 ms per operand at 1M entries;
+    # 6.1 ms at 4M/1024² in the bad T(8,128)->T(1024) relayout, op-profile
+    # 2026-08-19); when dup divides 128 the interleave is instead ONE exact
+    # 0/1 permutation matmul per operand on the MXU: out2d[r, c] =
     # in[r*g + c//dup] (payloads) and key2d[r, c] = plane[c%dup][r*g +
     # c//dup] (keys), g = 128//dup. Selection through >=HIGH precision is
-    # bit-exact for f32 VALUES; cgb stays on the broadcast path because it
-    # is a bit PATTERN (packed f16 pair) whose denormal encodings a matmul
-    # would flush.
+    # bit-exact for f32 VALUES. The packed cgb channel is a bit PATTERN
+    # (f16 pair) whose denormal encodings a matmul would flush, so it is
+    # expanded as its two UNPACKED f32 halves and packed per-entry after —
+    # bitwise-equal (cgc/cb are non-negative, and any positive f32 denormal
+    # converts to f16 +0 whether or not the MXU flushed it first).
     if dup == 1:
         key = key_planes[0]
         e_cx, e_cy, e_w = cx, cy, w_clip
+        e_cgb = pack_cgb(cgc, cb)
     elif 128 % dup == 0 and (n * dup) % 128 == 0:
         g = 128 // dup
         rows_e = (n * dup) // 128
@@ -290,12 +303,16 @@ def _render(
         e_cx = _mm(cx.reshape(rows_e, g), pexp)
         e_cy = _mm(cy.reshape(rows_e, g), pexp)
         e_w = _mm(w_clip.reshape(rows_e, g), pexp)
+        e_cgb = pack_cgb(
+            _mm(cgc.reshape(rows_e, g), pexp), _mm(cb.reshape(rows_e, g), pexp)
+        )
     else:
         key = jnp.stack(key_planes, axis=1).reshape(-1)
         e_cx, e_cy, e_w = expand(cx), expand(cy), expand(w_clip)
+        e_cgb = expand(pack_cgb(cgc, cb))
 
     (sorted_key, s_cx, s_cy, s_w, s_cgb) = jax.lax.sort(
-        (key, e_cx, e_cy, e_w, expand(cgb)),
+        (key, e_cx, e_cy, e_w, e_cgb),
         dimension=0, num_keys=1, is_stable=True,
     )
 

@@ -362,6 +362,11 @@ def main() -> int:
             jax, n_pm, 9 if on_tpu else warm, 12 if on_tpu else timed)),
         ("fused", lambda: _bench_fused(
             jax, n_frame, warm_frames, timed_frames)),
+        # NO fused stage at 4M: measured 2026-08-19 (fused4m probe) —
+        # 147 ms/frame single-pass, 113 after the fused frame program
+        # learned the chunked fold, vs split's 93; split stays the right
+        # (and recorded) mode at the reference-default N, and the fused
+        # 4M compile alone costs ~7 min of driver bench time.
     ):
         try:
             extra.append(fn())
@@ -369,14 +374,21 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, keep benching
             extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
             note(f"bench: {name} FAILED: {e}")
-    # fused vs split head-to-head: the async-compute analog's claimed win,
-    # recorded by the driver every round (>1 = fused faster)
-    split_ms = next(
-        (e["value"] for e in extra if "split-mode frame" in e.get("metric", "")),
-        None,
-    )
+    # fused vs split head-to-head AT THE SAME N: the async-compute
+    # analog's claimed win, recorded by the driver every round
+    # (>1 = fused faster)
     for e in extra:
-        if "fused-mode frame" in e.get("metric", "") and split_ms:
+        metric = e.get("metric", "")
+        if "fused-mode frame" not in metric or "value" not in e:
+            continue
+        n_tag = metric.split("@", 1)[1].split("particles")[0].strip()
+        split_ms = next(
+            (s["value"] for s in extra
+             if "split-mode frame" in s.get("metric", "")
+             and f"@ {n_tag} particles" in s["metric"] and "value" in s),
+            None,
+        )
+        if split_ms:
             e["vs_split"] = split_ms / e["value"]
     out = dict(headline)
     out["extra"] = extra

@@ -656,6 +656,73 @@ def _render_mesh(
     return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
 
 
+def _chunk_width(n: int, chunk_size: int):
+    """(k, cn): k lane-aligned chunks of width cn covering n particles.
+
+    No exact-divisor requirement — an N with no divisor near
+    ceil(n/chunk_size) (e.g. 2*prime) must not degenerate into millions
+    of tiny dispatches; the last chunk carries a parked-padding tail."""
+    k = -(-n // chunk_size)
+    cn = -(-(-(-n // k)) // 128) * 128
+    k = -(-n // cn)
+    return k, cn
+
+
+def _chunked_fold(
+    position, wvp, p00, p11, size, intensity, num_draw,
+    *, width, height, seg_q, dup_y, dup_x, near, blend,
+    use_pallas_composite, chunk_size, frame_uint8, starts_chunk=None,
+) -> FrameOutput:
+    """Fold id-ordered particle chunks through the associative composite:
+    later ∘ earlier = (C_l + C_e T_l, T_e T_l). Each chunk renders with
+    its global id offset (colors) and its slice of the num_draw prefix;
+    equals the single-pass frame up to fp reassociation of the per-pixel
+    blend. Traceable — `num_draw` may be None, an int, or a traced scalar
+    (the fused frame program routes its >chunk_threshold renders here so
+    the single-program mode gets the same k-smaller-sorts win as split
+    mode; a traced num_draw must not force a Python int())."""
+    n = position.shape[1]
+    k, cn = _chunk_width(n, chunk_size)
+    if k * cn > n:
+        from multi_adapter_particles_tpu.models.state import PAD_POSITION
+
+        pad = jnp.full((4, k * cn - n), PAD_POSITION, position.dtype)
+        pad = pad.at[3, :].set(0.0)
+        position = jnp.concatenate([position, pad], axis=1)
+    nd_global = jnp.asarray(
+        n if num_draw is None else num_draw, jnp.int32
+    )
+
+    cf = tf = trunc = sy = sx = None
+    for i in range(k):
+        chunk = jax.lax.slice_in_dim(position, i * cn, (i + 1) * cn, axis=1)
+        nd = jnp.clip(nd_global - jnp.int32(i * cn), 0, cn)
+        out = _render(
+            chunk, wvp, p00, p11,
+            jnp.float32(size), jnp.float32(intensity),
+            nd, jnp.int32(i * cn),
+            width=width, height=height, seg_q=seg_q,
+            dup_y=dup_y, dup_x=dup_x, near=near,
+            blend=blend,
+            use_pallas_composite=use_pallas_composite and seg_q % 8 == 0,
+            return_trans=True,
+            starts_chunk=starts_chunk,
+        )
+        if cf is None:
+            cf, tf = out.frame, out.trans
+            trunc, sy, sx = out.truncated, out.span_y, out.span_x
+        else:
+            cf = out.frame + cf * out.trans[..., None]
+            tf = tf * out.trans
+            trunc = trunc + out.truncated
+            sy = jnp.maximum(sy, out.span_y)
+            sx = jnp.maximum(sx, out.span_x)
+    frame = jnp.clip(cf, 0.0, 1.0)
+    if frame_uint8:
+        frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
+    return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
+
+
 class Renderer:
     """Headless splat renderer with reference semantics.
 
@@ -869,62 +936,28 @@ class Renderer:
         num_draw, seg_q,
     ) -> FrameOutput:
         """Fold id-ordered particle chunks through the associative
-        composite: later ∘ earlier = (C_l + C_e T_l, T_e T_l). Each chunk
-        renders with its global id offset (colors) and its slice of the
-        num_draw prefix; equals the single-pass frame up to fp
-        reassociation of the per-pixel blend."""
+        composite (see `_chunked_fold`); camera/scalar prep only."""
         cfg = self.config
         n = position.shape[1]
-        # Lane-aligned chunk width covering n with a parked-padding tail —
-        # no exact-divisor requirement (an N with no divisor near
-        # ceil(n/chunk_size), e.g. 2*prime, must not degenerate into
-        # millions of tiny dispatches).
-        k = -(-n // self.chunk_size)
-        cn = -(-(-(-n // k)) // 128) * 128
-        k = -(-n // cn)
+        _, cn = _chunk_width(n, self.chunk_size)
         self._last_sort_n = cn
-        if k * cn > n:
-            from multi_adapter_particles_tpu.models.state import PAD_POSITION
-
-            pad = jnp.full((4, k * cn - n), PAD_POSITION, position.dtype)
-            pad = pad.at[3, :].set(0.0)
-            position = jnp.concatenate([position, pad], axis=1)
         proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
         wvp = jnp.asarray(camera.world_view_projection(
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         ))
-        p00 = jnp.float32(abs(proj[0, 0]))
-        p11 = jnp.float32(abs(proj[1, 1]))
-        q = self.resolve_seg_q(cn, seg_q)
-        nd_global = int(n if num_draw is None else num_draw)
-
-        cf = tf = trunc = sy = sx = None
-        for i in range(k):
-            chunk = jax.lax.slice_in_dim(position, i * cn, (i + 1) * cn, axis=1)
-            nd = max(0, min(nd_global - i * cn, cn))
-            out = _render(
-                chunk, wvp, p00, p11,
-                jnp.float32(particle_size), jnp.float32(particle_intensity),
-                jnp.int32(nd), jnp.int32(i * cn),
-                width=cfg.width, height=cfg.height, seg_q=q,
-                dup_y=self.dup_y, dup_x=self.dup_x, near=cfg.near,
-                blend=self.blend,
-                use_pallas_composite=self.use_pallas_composite and q % 8 == 0,
-                return_trans=True,
-            )
-            if cf is None:
-                cf, tf = out.frame, out.trans
-                trunc, sy, sx = out.truncated, out.span_y, out.span_x
-            else:
-                cf = out.frame + cf * out.trans[..., None]
-                tf = tf * out.trans
-                trunc = trunc + out.truncated
-                sy = jnp.maximum(sy, out.span_y)
-                sx = jnp.maximum(sx, out.span_x)
-        frame = jnp.clip(cf, 0.0, 1.0)
-        if cfg.frame_uint8:
-            frame = (frame * 255.0 + 0.5).astype(jnp.uint8)
-        return FrameOutput(frame, jnp.int32(0), trunc, sy, sx)
+        return _chunked_fold(
+            position, wvp,
+            jnp.float32(abs(proj[0, 0])), jnp.float32(abs(proj[1, 1])),
+            jnp.float32(particle_size), jnp.float32(particle_intensity),
+            num_draw,
+            width=cfg.width, height=cfg.height,
+            seg_q=self.resolve_seg_q(cn, seg_q),
+            dup_y=self.dup_y, dup_x=self.dup_x, near=cfg.near,
+            blend=self.blend,
+            use_pallas_composite=self.use_pallas_composite,
+            chunk_size=self.chunk_size, frame_uint8=cfg.frame_uint8,
+            starts_chunk=self.starts_chunk,
+        )
 
     def raise_dup_for(self, out: FrameOutput) -> bool:
         """Grow the dup window to a frame's measured max sprite span.

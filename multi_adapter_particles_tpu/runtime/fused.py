@@ -109,17 +109,41 @@ class FusedEngine:
             # two-buffer ping-pong (`Compute.cpp:52-62,1030-1035`).
             del scratch  # storage donor only; contents are dead
             # draw frame N (pre-step positions: the stale-by-one contract)...
-            q = self.renderer.resolve_seg_q(state.padded_count)
-            out = rmod._render(
-                state.position, wvp, p00, p11, radius, intensity, num_draw,
-                width=rcfg.width, height=rcfg.height,
-                seg_q=q,
-                dup_y=self.renderer.dup_y, dup_x=self.renderer.dup_x,
-                near=rcfg.near, blend=self.renderer.blend,
-                use_pallas_composite=(
-                    self.renderer.use_pallas_composite and q % 8 == 0
-                ),
-            )
+            rend = self.renderer
+            if state.padded_count > rend.chunk_threshold:
+                # the same id-ordered associative fold as split mode —
+                # k smaller sorts beat one big one (the single-pass 4M
+                # fused frame measured 147 ms vs split's 93 before this,
+                # 2026-08-19); the whole fold inlines into the one frame
+                # program (static chunk count)
+                _, cn = rmod._chunk_width(
+                    state.padded_count, rend.chunk_size
+                )
+                q = rend.resolve_seg_q(cn)
+                out = rmod._chunked_fold(
+                    state.position, wvp, p00, p11, radius, intensity,
+                    num_draw,
+                    width=rcfg.width, height=rcfg.height, seg_q=q,
+                    dup_y=rend.dup_y, dup_x=rend.dup_x,
+                    near=rcfg.near, blend=rend.blend,
+                    use_pallas_composite=rend.use_pallas_composite,
+                    chunk_size=rend.chunk_size,
+                    frame_uint8=False,  # fused frames stay float,
+                    #                     matching the _render call below
+                )
+            else:
+                q = rend.resolve_seg_q(state.padded_count)
+                out = rmod._render(
+                    state.position, wvp, p00, p11, radius, intensity,
+                    num_draw,
+                    width=rcfg.width, height=rcfg.height,
+                    seg_q=q,
+                    dup_y=rend.dup_y, dup_x=rend.dup_x,
+                    near=rcfg.near, blend=rend.blend,
+                    use_pallas_composite=(
+                        rend.use_pallas_composite and q % 8 == 0
+                    ),
+                )
             # ...while/then integrating to N+1, all inside one program
             new_state = step_core(state, num_sim)
             return new_state, out

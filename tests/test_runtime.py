@@ -294,6 +294,33 @@ class TestFusedMode:
         split.shutdown()
         fused.shutdown()
 
+    def test_fused_chunked_matches_split_chunked(self):
+        """Above chunk_threshold the fused frame program inlines the
+        id-ordered chunk fold (renderer._chunked_fold) instead of the
+        single-pass _render; with matching thresholds its frames must
+        equal split mode's chunked render (same association)."""
+        cfg_app = AppConfig(num_particles=N, particle_size=10.0)
+        cfg_sim = SimConfig(num_particles=N)
+        split = ParticlesApp(cfg_app, cfg_sim, SMALL_RENDER, seed=0)
+        fused = ParticlesApp(cfg_app, cfg_sim, SMALL_RENDER, seed=0,
+                             fused=True)
+        for r in (split.render.renderer, fused.compute.renderer):
+            r.chunk_threshold = 256  # N=512 -> 2+ chunks on both paths
+            r.chunk_size = 256
+        for _ in range(3):
+            split.draw()
+            fused.draw()
+        split.compute.wait_for_gpu()
+        fused.compute.wait_for_gpu()
+        assert split.render.renderer._last_sort_n < N  # fold engaged
+        np.testing.assert_allclose(
+            np.asarray(split.render.last_frame),
+            np.asarray(fused.render.last_frame),
+            rtol=1e-4, atol=1e-4,
+        )
+        split.shutdown()
+        fused.shutdown()
+
     def test_fused_draw_toggle(self):
         app = small_app()
         fused = ParticlesApp(

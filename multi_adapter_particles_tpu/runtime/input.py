@@ -52,6 +52,14 @@ _ESCAPE_SEQS = {
 # SGR mouse report: ESC [ < button ; col ; row (M=press/motion, m=release)
 _SGR_MOUSE = re.compile(r"\[<(\d+);(\d+);(\d+)([Mm])")
 
+# Everything (after the ESC) that could still grow into a complete
+# sequence: nothing yet, an arrow-prefix, or a partial SGR report. Drag
+# reports arrive many per frame and fragment at os.read/select
+# boundaries, so a trailing partial must wait for the next poll instead
+# of being misread as a bare ESC (quit!) + control-panel key bytes.
+_SEQ_PREFIX = re.compile(r"\[<[\d;]*|\[|O|")
+_PENDING_MAX = 24  # longest legal report is ~16 bytes; beyond = garbage
+
 
 class TerminalInput:
     """cbreak-mode key reader; a no-op when stdin is not a tty."""
@@ -63,6 +71,7 @@ class TerminalInput:
         self._mouse_wanted = mouse
         self._mouse_on = False
         self._last_xy: Optional[tuple] = None
+        self._pending = ""  # trailing partial escape sequence, carried
         self.state = InputState()
 
     # -- lifecycle -----------------------------------------------------------
@@ -111,7 +120,10 @@ class TerminalInput:
     def poll(self) -> InputState:
         """Drain pending keys into a fresh edge state (call once per frame)."""
         self.state.clear_edges()
-        buf = self._read_available()
+        data = self._read_available()
+        carried = self._pending
+        buf = carried + data
+        self._pending = ""
         i = 0
         while i < len(buf):
             ch = buf[i]
@@ -120,7 +132,12 @@ class TerminalInput:
                 if m:
                     btn, col, row = (int(m.group(k)) for k in (1, 2, 3))
                     press = m.group(4) == "M"
-                    if btn & 32:  # motion with a button held (mode 1002)
+                    if btn & 64:
+                        # wheel / extended buttons: stateless one-shots
+                        # with no release pair — must not latch
+                        # mouse_down or move the drag anchor
+                        pass
+                    elif btn & 32:  # motion with a button held (mode 1002)
                         if self._last_xy is not None:
                             self.state.mouse_dx += col - self._last_xy[0]
                             self.state.mouse_dy += row - self._last_xy[1]
@@ -138,7 +155,20 @@ class TerminalInput:
                     self.state.pressed.append(key)
                     i += 3
                     continue
-                self.state.quit = True  # bare ESC (WindowProc.cpp:66-69)
+                rest = buf[i + 1 :]
+                if len(rest) < _PENDING_MAX and _SEQ_PREFIX.fullmatch(rest):
+                    # A sequence split across reads. Hold the tail for
+                    # the next poll — unless it already waited a full
+                    # poll with no new bytes: then a lone ESC is a real
+                    # keypress and a longer fragment is line noise.
+                    if not (data == "" and buf[i:] == carried):
+                        self._pending = buf[i:]
+                        break
+                    if rest == "":
+                        self.state.quit = True  # ESC (WindowProc.cpp:66-69)
+                    i = len(buf)
+                    continue
+                self.state.quit = True  # ESC + non-sequence bytes: bare ESC
                 i += 1
                 continue
             if ch == " ":

@@ -18,10 +18,20 @@ def test_space_toggles_draw_edge():
 
 
 def test_escape_and_q_quit():
-    assert make().feed("\x1b").quit
+    # A lone ESC could be the start of a split escape sequence, so it
+    # resolves one poll later (the standard terminal ESC-timeout, with
+    # the frame poll as the timer).
+    ti = make()
+    assert not ti.feed("\x1b").quit
+    assert ti.feed("").quit
     assert make().feed("q").quit
     assert make().feed("\x03").quit
     assert not make().feed("a").quit
+
+
+def test_escape_then_key_quits_immediately():
+    st = make().feed("\x1bw")  # ESC followed by a non-sequence byte
+    assert st.quit and st.pressed == ["w"]
 
 
 def test_arrow_escape_sequences():
@@ -93,6 +103,49 @@ def test_mouse_drag_drives_camera_yaw_pitch():
     cam.drag(0, -10000)
     import math
     assert abs(cam.pitch) <= math.pi / 4 + 1e-9
+
+
+def test_truncated_sgr_report_resumes_across_polls():
+    """A drag report split at an os.read boundary must neither quit the
+    app nor leak its digits as control-panel keys — the tail waits for
+    the next poll and decodes whole."""
+    ti = make()
+    ti.feed("\x1b[<0;10;5M")            # press anchors at (10, 5)
+    st = ti.feed("\x1b[<32;14")          # fragment ends mid-report
+    assert not st.quit and st.pressed == []
+    assert (st.mouse_dx, st.mouse_dy) == (0, 0)
+    st = ti.feed(";8M")                  # the rest arrives next frame
+    assert not st.quit and st.pressed == []
+    assert (st.mouse_dx, st.mouse_dy) == (4, 3)
+
+
+def test_truncated_arrow_resumes_across_polls():
+    ti = make()
+    assert ti.feed("\x1b[").pressed == []
+    st = ti.feed("A")
+    assert st.pressed == ["up"] and not st.quit
+
+
+def test_stale_fragment_is_dropped_not_quit():
+    ti = make()
+    ti.feed("\x1b[<32;1")   # fragment that never completes
+    st = ti.feed("")        # one idle poll: line noise, discarded
+    assert not st.quit and st.pressed == []
+    st = ti.feed("w")       # stream keeps working afterwards
+    assert st.pressed == ["w"]
+
+
+def test_wheel_events_do_not_latch_mouse_down():
+    """SGR wheel reports (btn>=64) have no release pair — they must not
+    set mouse_down or move the drag anchor."""
+    ti = make()
+    st = ti.feed("\x1b[<64;10;5M\x1b[<65;10;5M")
+    assert not st.mouse_down and not st.quit and st.pressed == []
+    # a wheel event between press and drag must not poison the anchor
+    ti.feed("\x1b[<0;10;5M")             # press at (10, 5)
+    st = ti.feed("\x1b[<64;30;2M\x1b[<32;12;9M")  # wheel elsewhere, then drag
+    assert (st.mouse_dx, st.mouse_dy) == (2, 4)
+    assert st.mouse_down
 
 
 def test_pty_mouse_roundtrip():

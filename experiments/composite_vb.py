@@ -9,8 +9,11 @@ production render sizes to see if 512 (the pre-skip default, chosen when
 every block ran the full Q loop anyway) is still right.
 
 Run on the real chip: python experiments/composite_vb.py [N ...]
-(defaults 4194304). jax.clear_caches() between variants — _render traces
-the module-level composite_rows_pallas binding.
+(defaults 4194304). jax.clear_caches() between variants. _render imports
+composite_rows_pallas from ops.composite at trace time, so the patch
+must land on THAT module — the first version of this sweep patched a
+renderer attribute nothing reads and measured vb=512 three times
+(caught in the round-4 review; re-run fixed 2026-08-19).
 """
 
 import functools
@@ -30,7 +33,6 @@ def main() -> int:
 
     from multi_adapter_particles_tpu.config import RenderConfig
     from multi_adapter_particles_tpu.models import init as pinit
-    from multi_adapter_particles_tpu.render import renderer as renderer_mod
     from multi_adapter_particles_tpu.render.camera import Camera
     from multi_adapter_particles_tpu.render.renderer import Renderer
 
@@ -45,7 +47,7 @@ def main() -> int:
 
         base_frame = None
         for vb in (512, 256, 128):
-            renderer_mod.composite_rows_pallas = functools.partial(
+            composite_mod.composite_rows_pallas = functools.partial(
                 orig, vb=vb
             )
             jax.clear_caches()
@@ -73,7 +75,7 @@ def main() -> int:
                     f"MAXDIFF {np.abs(f - base_frame).max():.2e}")
             print(f"render @{n:>9} vb={vb:<4} {ms:8.2f} ms  [{eq}]",
                   flush=True)
-        renderer_mod.composite_rows_pallas = orig
+        composite_mod.composite_rows_pallas = orig
     return 0
 
 

@@ -98,7 +98,7 @@ def composite_rows_pallas(
     tile_h: int,
     tile_w: int,
     blend: str = "over",
-    vb: int = 512,
+    vb: int = 256,
     row_hi: jax.Array | None = None,  # [V] int32 live-slot bound per row
 ) -> jax.Array:
     """-> [4, px, V]: premultiplied rgb + transmittance per virtual row.
@@ -109,6 +109,12 @@ def composite_rows_pallas(
     ceil(row_hi/8) over its rows — bitwise-equal to the full loop (zero
     alpha blends as exact identity) but skipping the dead virtual-row
     tail, ~40% of V at the 4M default. None -> every block loops full Q.
+
+    vb=256 measured best with the skip (experiments/composite_vb.py,
+    2026-08-19 on chip, bitwise-equal at every width): a narrower block
+    tightens the max-row_hi trip bound vs 512 at all sizes (262K 11.88
+    -> 10.66 ms, 1M 26.58 -> 25.01, 4M 95.87 -> 90.81 render-only);
+    128 edges it at 262K (10.42) but regresses at 4M (97.88).
     """
     _, q_len, v = sp.shape
     if q_len % 8:

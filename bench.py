@@ -350,8 +350,12 @@ def main() -> int:
             exact_ms=EXACT_1M_MS)),
         ("render", lambda: _bench_render(
             jax, n_frame if on_tpu else 8192, warm, timed)),
+        # 4/14 frames (~1.6 s of device time): a 6-frame window measured
+        # 142.9/126.2/87.6 ms across three same-day runs (transient
+        # tunnel stalls land whole-frame-sized spikes on short windows);
+        # the longer window averages them out
         ("render-4m", lambda: _bench_render(
-            jax, n_pm, 3 if on_tpu else warm, 6 if on_tpu else timed,
+            jax, n_pm, 4 if on_tpu else warm, 14 if on_tpu else timed,
             baseline_ms=RENDER_4M_R3_MS)),
         ("frame", lambda: _bench_frame(
             jax, n_frame, warm_frames, timed_frames)),

@@ -337,8 +337,12 @@ def main() -> int:
     # bound ramps up over the first ~6-8 confirmation cycles
     # (runtime/pacing.py), and a short timed segment pays the remaining
     # ramp + pipeline-drain tail disproportionately
-    warm_frames = 12 if on_tpu else warm
-    timed_frames = 30 if on_tpu else timed
+    # 30/60, not 12/30: the transport-aware pacing bound is still
+    # ramping at frame ~20 on a 35 ms-RTT tunnel — the short window
+    # measured 11.25 ms @262K where 30/60 and a 120-frame CLI run both
+    # measure 7.3-7.5 (A/B 2026-08-19, /tmp/frame_window.log)
+    warm_frames = 30 if on_tpu else warm
+    timed_frames = 60 if on_tpu else timed
     for name, fn in (
         ("pm", lambda: _bench_pm(jax, n_pm, g_pm, 5 if on_tpu else 2)),
         ("tree", lambda: _bench_tree(
@@ -363,7 +367,7 @@ def main() -> int:
         # frames are ~10x 262K's, so fewer of them keeps the stage bounded
         # while still past the pacing ramp (~8 confirm cycles)
         ("frame-4m", lambda: _bench_frame(
-            jax, n_pm, 9 if on_tpu else warm, 12 if on_tpu else timed)),
+            jax, n_pm, 30 if on_tpu else warm, 40 if on_tpu else timed)),
         ("fused", lambda: _bench_fused(
             jax, n_frame, warm_frames, timed_frames)),
         # NO fused stage at 4M: measured 2026-08-19 (fused4m probe) —

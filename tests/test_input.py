@@ -148,6 +148,39 @@ def test_wheel_events_do_not_latch_mouse_down():
     assert st.mouse_down
 
 
+def test_sgr_stream_split_at_every_boundary():
+    """Fragmentation property: feeding a mixed key+mouse stream in two
+    pieces — split at EVERY byte boundary — accumulates exactly the same
+    state as the unsplit stream (no quit, no leaked keys, same deltas)."""
+    stream = "w\x1b[<0;10;5M\x1b[<32;14;8M\x1b[A\x1b[<32;13;9M\x1b[<0;13;9ms"
+
+    def run(feeds):
+        ti = make()
+        agg = {"dx": 0, "dy": 0, "pressed": [], "quit": False}
+        for piece in feeds:
+            st = ti.feed(piece)
+            agg["dx"] += st.mouse_dx
+            agg["dy"] += st.mouse_dy
+            agg["pressed"] += st.pressed
+            agg["quit"] |= st.quit
+        # one more poll so a trailing fragment (if any) resolves
+        st = ti.feed("")
+        agg["dx"] += st.mouse_dx
+        agg["dy"] += st.mouse_dy
+        agg["pressed"] += st.pressed
+        agg["quit"] |= st.quit
+        return agg, ti.state.mouse_down
+
+    want, down_want = run([stream])
+    assert want == {"dx": 3, "dy": 4, "pressed": ["w", "up", "s"],
+                    "quit": False}
+    assert not down_want
+    for cut in range(1, len(stream)):
+        got, down = run([stream[:cut], stream[cut:]])
+        assert got == want, f"split at {cut}: {got}"
+        assert down == down_want, f"split at {cut}"
+
+
 def test_pty_mouse_roundtrip():
     """End-to-end through a REAL pty: cbreak entry, injected SGR drag
     bytes, decoded deltas (the non-feed path: select + os.read)."""

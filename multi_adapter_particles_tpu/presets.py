@@ -41,7 +41,7 @@ PRESETS = {
         "extra": {"force": "pm_grid", "draw": False, "steps": 30},
     },
     # 16.8M self-gravity + exact splat on ONE chip: PM G=128 ~550 ms/step
-    # + chunked-composite render ~930 ms (the interp's fused gather+weight
+    # + chunked-composite render ~320 ms (the interp's fused gather+weight
     # chunks keep the pipelined peak inside the 16 GB chip)
     "16m-pm": {
         "app": {"num_particles": 16_777_216, "gui": False, "vsync": False},

@@ -192,7 +192,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     pair_budget = extra.get("p3m_pair_budget")
     sub_pair_budget = extra.get("p3m_sub_pair_budget")
     if extra.get("force") == "p3m" and (
-        near_mode == "auto" or (near_mode == "tree" and pair_budget is None)
+        near_mode == "auto"
+        or (
+            near_mode == "tree"
+            and (
+                # every probe-derived value is gated individually below,
+                # so enter whenever ANY is missing: an explicit
+                # -p3mbudget must not silently disable the auto grid or
+                # the sub-budget sizing (and vice versa); supplying all
+                # three skips the probe entirely
+                "pm_grid_size" not in extra
+                or pair_budget is None
+                or sub_pair_budget is None
+            )
+        )
     ):
         # Probe the initial state host-side: if the slot sweep's capacity
         # would overflow (the demo's cluster cores), run the tree near

@@ -614,7 +614,44 @@ def near_field_tree(
                 # outgrew the probe, the shortfall is counted in
                 # dropped_pairs like any other truncation
                 keep = int(min(i_e.shape[0], max(2, sub_pair_budget)))
-                live_e = jnp.sum((sweep_i < sweep_nb).astype(jnp.int32))
+                if block_owner_fn is None:
+                    live_e = jnp.sum((sweep_i < sweep_nb).astype(jnp.int32))
+                else:
+                    # GLOBAL survivor recount — the contract above says
+                    # dropped_pairs is identical on every device, but
+                    # sweep_i is owner-masked here, so its live count is
+                    # per-device. Ownership only parks entries at the
+                    # sentinel; redoing the sub-AABB test on the
+                    # un-owner-masked list gives the same count every
+                    # device computes — and the budget itself is sized
+                    # from the global scene (host_sub_pair_budget), so
+                    # the global count is the consistent
+                    # outgrew-the-probe signal.
+                    i_gs = jnp.where(
+                        (skey[:p_max] == 0)[:, None],
+                        i_idx[:, None] * split + a_off[None, :],
+                        sweep_nb,
+                    )
+                    i_ge = jnp.broadcast_to(
+                        i_gs[:, :, None], shape
+                    ).reshape(-1)
+                    icg = jnp.minimum(i_ge, sweep_nb - 1)
+                    gap2_g = jnp.zeros(i_ge.shape, jnp.float32)
+                    for c in range(3):
+                        g = jnp.maximum(
+                            jnp.maximum(
+                                smin[c][icg] - smax[c][j_e],
+                                smin[c][j_e] - smax[c][icg],
+                            ),
+                            0.0,
+                        )
+                        gap2_g = gap2_g + g * g
+                    live_e = jnp.sum(
+                        (
+                            (gap2_g <= jnp.float32(r_c) * jnp.float32(r_c))
+                            & (i_ge < sweep_nb)
+                        ).astype(jnp.int32)
+                    )
                 dropped = dropped + jnp.maximum(
                     live_e - keep, 0
                 )
@@ -765,21 +802,28 @@ def host_tree_counts(
     box: float,
     r_c: float,
     near_grid: int,
+    block: int | None = None,
 ):
     """One Morton sort -> (coarse_count, sub_count_or_None, block).
 
-    The shared probe behind `host_pair_budget`, `host_sub_pair_budget`
-    and `auto_grid`. Two-level, mirroring the device exactly: coarse
+    The shared probe behind `host_pair_budget`, `host_sub_pair_budget`,
+    `host_block_pairs` and `auto_grid` — the ONE host-side copy of the
+    device walk's pruning rule (Morton interleave, live-masked float
+    AABBs, banded gap² <= r_c² test); keep it bit-faithful to
+    `near_field_tree`. Two-level, mirroring the device exactly: coarse
     block pairs under the AABB rule first, then sub-block tests only
     inside the survivors (a sub-pair within r_c implies its parent pair
     is too, so nothing is missed). A flat count at sub granularity was
     ~569 s at 16.8M (32768² tests); this is the same numbers in
-    ~1/100th, and auto_grid stops paying two sorts per candidate."""
+    ~1/100th, and auto_grid stops paying two sorts per candidate.
+    `block` None = the device default for N (explicit values serve
+    `host_block_pairs` callers probing other granularities)."""
     import numpy as np
 
     pos = np.asarray(position)
     n = pos.shape[1]
-    block = default_block(n)
+    if block is None:
+        block = default_block(n)
     split = max(1, block // _SWEEP_MAX_BLOCK)
     sub_block = block // split
 
@@ -883,60 +927,13 @@ def host_block_pairs(
 ):
     """Host-side block-pair count under the device walk's exact pruning
     rule -> (count, block). The budget and the auto-grid cost model both
-    consume this."""
-    import numpy as np
-
-    gn = near_grid
-    hn = box / gn
-    pos = np.asarray(position)[:3]
-    n = pos.shape[1]
-    if block is None:
-        block = default_block(n)
-    ib = np.floor(pos / hn + gn / 2).astype(np.int64)
-    inbox = ((ib >= 0) & (ib <= gn - 1)).all(axis=0)
-    bits = max(int(gn - 1).bit_length(), 1)
-    ibc = np.clip(ib, 0, gn - 1)
-    code = np.zeros(n, np.int64)
-    for b in range(bits):
-        for c in range(3):
-            code |= ((ibc[c] >> b) & 1) << (3 * b + c)
-    code[~inbox] = 1 << (3 * bits)
-    order = np.argsort(code, kind="stable")
-    spos = pos[:, order].astype(np.float32)
-    live = inbox[order]
-    nb = -(-n // block)
-    pad = nb * block - n
-    if pad:
-        spos = np.concatenate(
-            [spos, np.zeros((3, pad), np.float32)], axis=1
-        )
-        live = np.concatenate([live, np.zeros(pad, bool)])
-    spos = spos.reshape(3, nb, block)
-    live = live.reshape(nb, block)
-    any_live = live.any(axis=1)
-    # float-AABB distance prune — the device walk's rule (near_field_tree);
-    # row-banded so the host matrix stays ~nb*band (a full [nb, nb] f32 at
-    # 16.8M sub-granularity would be 4+ GB)
-    fmin = np.where(live[None], spos, 4e9).min(axis=2)     # [3, nb]
-    fmax = np.where(live[None], spos, -4e9).max(axis=2)
-    rc2 = np.float32(r_c) ** 2
-    count = 0
-    band = 4096
-    for lo in range(0, nb, band):
-        hi = min(lo + band, nb)
-        m = any_live[lo:hi, None] & any_live[None, :]
-        gap2 = np.zeros((hi - lo, nb), np.float32)
-        for c in range(3):
-            g = np.maximum(
-                np.maximum(
-                    fmin[c][lo:hi, None] - fmax[c][None, :],
-                    fmin[c][None, :] - fmax[c][lo:hi, None],
-                ),
-                0.0,
-            )
-            gap2 += g * g
-        count += int((m & (gap2 <= rc2)).sum())
-    return count, block
+    consume this. Delegates to `host_tree_counts` — the one host copy of
+    the pruning rule (a second transcription desynchronized from it is
+    exactly how a startup probe under-budgets the device sweep)."""
+    coarse, _sub, blk = host_tree_counts(
+        position, box, r_c, near_grid, block=block
+    )
+    return coarse, blk
 
 
 # Auto-grid cost model, calibrated on v5e fp32 (2026-08-17) against the

@@ -834,30 +834,14 @@ class Renderer:
             )
         self._last_sort_n = position.shape[1]
         cfg = self.config
-        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
-        wvp = camera.world_view_projection(
-            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
-        )
         n = position.shape[1]
         q = self.resolve_seg_q(n, seg_q)
-        nd = int(n if num_draw is None else num_draw)
-        akey = (
-            wvp.tobytes(), float(proj[0, 0]), float(proj[1, 1]),
-            float(particle_size), float(particle_intensity), nd,
-        )
-        if akey != self._arg_key:
-            self._arg_dev = (
-                jnp.asarray(wvp),
-                jnp.float32(abs(proj[0, 0])),
-                jnp.float32(abs(proj[1, 1])),
-                jnp.float32(particle_size),
-                jnp.float32(particle_intensity),
-                jnp.int32(nd),
-            )
-            self._arg_key = akey
         return _render(
             position,
-            *self._arg_dev,
+            *self._device_args(
+                camera, particle_size, particle_intensity,
+                int(n if num_draw is None else num_draw),
+            ),
             width=cfg.width,
             height=cfg.height,
             seg_q=q,
@@ -931,25 +915,53 @@ class Renderer:
             starts_chunk=self.starts_chunk,
         )
 
+    def _device_args(self, camera, particle_size, particle_intensity,
+                     nd: int):
+        """Camera/scalar device arguments through the per-frame cache: a
+        static camera and unchanged size/intensity/num_draw reuse the
+        SAME device buffers instead of re-uploading ~6 small scalars per
+        frame (each a host->device transfer — milliseconds over a
+        tunneled transport)."""
+        cfg = self.config
+        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near,
+                                        cfg.far)
+        wvp = camera.world_view_projection(
+            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
+        )
+        akey = (
+            wvp.tobytes(), float(proj[0, 0]), float(proj[1, 1]),
+            float(particle_size), float(particle_intensity), nd,
+        )
+        if akey != self._arg_key:
+            self._arg_dev = (
+                jnp.asarray(wvp),
+                jnp.float32(abs(proj[0, 0])),
+                jnp.float32(abs(proj[1, 1])),
+                jnp.float32(particle_size),
+                jnp.float32(particle_intensity),
+                jnp.int32(nd),
+            )
+            self._arg_key = akey
+        return self._arg_dev
+
     def _render_chunked(
         self, position, camera, particle_size, particle_intensity,
         num_draw, seg_q,
     ) -> FrameOutput:
         """Fold id-ordered particle chunks through the associative
-        composite (see `_chunked_fold`); camera/scalar prep only."""
+        composite (see `_chunked_fold`); camera/scalar prep only —
+        through the same `_device_args` cache as the single-pass path
+        (the 4M/16.8M hot paths must not re-upload static scalars)."""
         cfg = self.config
         n = position.shape[1]
         _, cn = _chunk_width(n, self.chunk_size)
         self._last_sort_n = cn
-        proj = camera.projection_matrix(cfg.aspect, cfg.fov_y, cfg.near, cfg.far)
-        wvp = jnp.asarray(camera.world_view_projection(
-            cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
-        ))
+        wvp, p00, p11, size, intensity, nd = self._device_args(
+            camera, particle_size, particle_intensity,
+            int(n if num_draw is None else num_draw),
+        )
         return _chunked_fold(
-            position, wvp,
-            jnp.float32(abs(proj[0, 0])), jnp.float32(abs(proj[1, 1])),
-            jnp.float32(particle_size), jnp.float32(particle_intensity),
-            num_draw,
+            position, wvp, p00, p11, size, intensity, nd,
             width=cfg.width, height=cfg.height,
             seg_q=self.resolve_seg_q(cn, seg_q),
             dup_y=self.dup_y, dup_x=self.dup_x, near=cfg.near,

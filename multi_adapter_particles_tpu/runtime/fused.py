@@ -99,7 +99,31 @@ class FusedEngine:
             # inside jit simply inlines it
             step_core = inner
 
-        rcfg = render_config
+        self._step_core = step_core
+        self._donate = donate
+        self._fused = self._rebuild_fused()
+
+        if prev is not None:
+            prev.wait_for_gpu()
+            self.state = jax.device_put(prev.state, device)
+            self.step_count = prev.get_fence_value()
+        else:
+            with jax.default_device(device):
+                self.state = pinit.initialize_particles_device(
+                    sim_config.num_particles, seed=seed
+                )
+        self._scratch = self._fresh_scratch()
+
+    def _rebuild_fused(self):
+        """(Re)wrap the fused frame program in a fresh jit.
+
+        The program closes over the renderer's dup window (and blend /
+        chunk sizing) at trace time, and a jit cache key excludes
+        closure values — so a dup auto-raise (`present`) must rebuild
+        the wrapper for the next frame to retrace with the new window
+        (split mode gets this for free from `_render`'s static args)."""
+        rcfg = self.render_config
+        step_core = self._step_core
 
         def fused(state, scratch, wvp, p00, p11, radius, intensity, num_draw,
                   num_sim):
@@ -148,22 +172,11 @@ class FusedEngine:
             new_state = step_core(state, num_sim)
             return new_state, out
 
-        self._fused = jax.jit(
+        return jax.jit(
             fused,
             static_argnums=(8,),
-            donate_argnums=(1,) if donate else (),
+            donate_argnums=(1,) if self._donate else (),
         )
-
-        if prev is not None:
-            prev.wait_for_gpu()
-            self.state = jax.device_put(prev.state, device)
-            self.step_count = prev.get_fence_value()
-        else:
-            with jax.default_device(device):
-                self.state = pinit.initialize_particles_device(
-                    sim_config.num_particles, seed=seed
-                )
-        self._scratch = self._fresh_scratch()
 
     def _fresh_scratch(self) -> ParticleState:
         """Second ping-pong buffer set (contents dead; storage donor)."""
@@ -185,6 +198,14 @@ class FusedEngine:
             cfg.aspect, fov_y=cfg.fov_y, near=cfg.near, far=cfg.far
         )
         n = self.state.padded_count
+        rend = self.renderer
+        # auto-raise bookkeeping (present() budgets dup growth against
+        # the per-dispatch sort size, exactly like the split renderer)
+        rend._last_n = n
+        rend._last_sort_n = (
+            rmod._chunk_width(n, rend.chunk_size)[1]
+            if n > rend.chunk_threshold else n
+        )
         nd = int(n if num_draw is None else num_draw)
         akey = (
             wvp.tobytes(), float(proj[0, 0]), float(proj[1, 1]),
@@ -245,6 +266,30 @@ class FusedEngine:
         return None if self._frame is None else self._frame.frame
 
     def present(self):
-        if self._frame is not None:
-            sync(self._frame.frame)
+        """Fence on the last frame — and the same deferred dup
+        auto-raise contract as `RenderEngine.present`: ONE packed host
+        read carries fence + truncated + spans, a truncating frame grows
+        the window for FUTURE frames, and (fused-specific) the frame
+        program is rebuilt so the next frame retraces with the new
+        window (the old jit baked dup into its closure; sprites past the
+        window stayed truncated for the rest of the run)."""
+        f = self._frame
+        if f is None:
+            return None
+        rend = self.renderer
+        if rend.auto_raise_dup:
+            from multi_adapter_particles_tpu.runtime.render_engine import (
+                _present_probe,
+            )
+
+            vals = jax.device_get(
+                _present_probe(f.frame, f.truncated, f.span_y, f.span_x)
+            )
+            rend.last_truncated = int(vals[1])
+            if rend.raise_dup_values(
+                int(vals[1]), int(vals[2]), int(vals[3])
+            ):
+                self._fused = self._rebuild_fused()
+        else:
+            sync(f.frame)
         return self._frame

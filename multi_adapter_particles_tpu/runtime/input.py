@@ -52,12 +52,20 @@ _ESCAPE_SEQS = {
 # SGR mouse report: ESC [ < button ; col ; row (M=press/motion, m=release)
 _SGR_MOUSE = re.compile(r"\[<(\d+);(\d+);(\d+)([Mm])")
 
+# A complete CSI sequence (ECMA-48): ESC [ params intermediates final.
+# Unknown-but-complete sequences (F-keys \x1b[3~ / \x1bOP, Home \x1b[H,
+# Shift-Tab \x1b[Z, modified arrows \x1b[1;5C, ...) are consumed
+# silently — only a true lone ESC quits (WindowProc.cpp:66-69).
+_CSI_SEQ = re.compile(r"\[[0-?]*[ -/]*[@-~]")
+_SS3_SEQ = re.compile(r"O.")
+
 # Everything (after the ESC) that could still grow into a complete
-# sequence: nothing yet, an arrow-prefix, or a partial SGR report. Drag
-# reports arrive many per frame and fragment at os.read/select
-# boundaries, so a trailing partial must wait for the next poll instead
-# of being misread as a bare ESC (quit!) + control-panel key bytes.
-_SEQ_PREFIX = re.compile(r"\[<[\d;]*|\[|O|")
+# sequence: nothing yet, an SS3 prefix, or a partial CSI (which covers
+# partial SGR mouse reports). Drag reports arrive many per frame and
+# fragment at os.read/select boundaries, so a trailing partial must wait
+# for the next poll instead of being misread as a bare ESC (quit!) +
+# control-panel key bytes.
+_SEQ_PREFIX = re.compile(r"\[[0-?]*[ -/]*|O|")
 _PENDING_MAX = 24  # longest legal report is ~16 bytes; beyond = garbage
 
 
@@ -155,6 +163,10 @@ class TerminalInput:
                     self.state.pressed.append(key)
                     i += 3
                     continue
+                m = _CSI_SEQ.match(buf, i + 1) or _SS3_SEQ.match(buf, i + 1)
+                if m:
+                    i = m.end()  # complete unknown sequence: ignore it
+                    continue
                 rest = buf[i + 1 :]
                 if len(rest) < _PENDING_MAX and _SEQ_PREFIX.fullmatch(rest):
                     # A sequence split across reads. Hold the tail for
@@ -168,7 +180,7 @@ class TerminalInput:
                         self.state.quit = True  # ESC (WindowProc.cpp:66-69)
                     i = len(buf)
                     continue
-                self.state.quit = True  # ESC + non-sequence bytes: bare ESC
+                self.state.quit = True  # ESC + plain byte (alt-key): ESC
                 i += 1
                 continue
             if ch == " ":

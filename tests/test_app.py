@@ -135,6 +135,23 @@ def test_tree_grid_auto_selected(capsys):
     assert "auto-selected" not in out
 
 
+def test_explicit_budget_does_not_disable_auto_grid(capsys):
+    """-p3mbudget used to skip the whole probe block, silently leaving
+    the tree mesh at the default G instead of the scene-probed optimum
+    (round-4 review catch): every probe-derived value is gated
+    individually, so an explicit budget must still auto-select the grid."""
+    rc = run([
+        "-numparticles", "4096", "-steps", "1", "-novsync", "-nogui",
+        "-width", "128", "-height", "128", "-force", "p3m",
+        "-p3mnear", "tree", "-p3mbudget", "2000000",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tree grid auto-selected G=" in out
+    # the explicit budget itself is respected (not re-sized)
+    assert "pair budget sized" not in out
+
+
 def test_metrics_dump_enables_stage_timer(tmp_path, monkeypatch):
     """-metrics must force the device-clock stage timer on even for
     -nogui/preset runs (async_timers defaults to gui-only): a shipped

@@ -105,6 +105,27 @@ def test_mouse_drag_drives_camera_yaw_pitch():
     assert abs(cam.pitch) <= math.pi / 4 + 1e-9
 
 
+def test_unknown_escape_sequences_are_ignored_not_quit():
+    """F-keys, Delete, Home, Shift-Tab, modified arrows: complete CSI or
+    SS3 sequences the app does not map must be consumed silently — not
+    treated as a bare ESC (quit) + leaked control-panel key bytes."""
+    for seq in ("\x1bOP",      # F1 (SS3)
+                "\x1b[3~",     # Delete — '3' and '[' must not leak
+                "\x1b[H",      # Home
+                "\x1b[Z",      # Shift-Tab
+                "\x1b[1;5C",   # Ctrl-Right
+                "\x1b[15~"):   # F5
+        st = make().feed(seq)
+        assert not st.quit and st.pressed == [], seq
+
+
+def test_unknown_sequence_split_across_polls_still_ignored():
+    ti = make()
+    assert not ti.feed("\x1b[1;5").quit      # Ctrl-Right, cut mid-params
+    st = ti.feed("C")
+    assert not st.quit and st.pressed == []
+
+
 def test_truncated_sgr_report_resumes_across_polls():
     """A drag report split at an os.read boundary must neither quit the
     app nor leak its digits as control-panel keys — the tail waits for

@@ -244,6 +244,29 @@ class TestTpuRenderer:
         assert chunked._last_sort_n == 256
         assert single._last_sort_n == st.position.shape[1]
 
+    def test_chunked_render_reuses_device_arg_cache(self):
+        """A static camera must not re-upload per-frame scalars on the
+        chunked (4M/16.8M) hot path: the second frame reuses the SAME
+        cached device buffers (round-4 review catch — the chunked branch
+        used to bypass `_device_args`)."""
+        rng = np.random.default_rng(34)
+        n = 512
+        pos = np.zeros((n, 4), dtype=np.float32)
+        pos[:, :3] = rng.uniform(-300, 300, size=(n, 3)).astype(np.float32)
+        from multi_adapter_particles_tpu.models.state import ParticleState
+
+        st = ParticleState.from_aos(pos, np.zeros((n, 3), np.float32))
+        r = Renderer(RenderConfig(width=256, height=128))
+        r.chunk_threshold = 256
+        r.chunk_size = 256
+        r.render_arrays(st.position, cam.Camera(), 6.0, 0.5)
+        dev = r._arg_dev
+        assert dev is not None
+        r.render_arrays(st.position, cam.Camera(), 6.0, 0.5)
+        assert r._arg_dev is dev  # identical frame args: no re-upload
+        r.render_arrays(st.position, cam.Camera(), 7.0, 0.5)
+        assert r._arg_dev is not dev  # changed size: cache invalidates
+
     def test_uint8_frame_mode(self):
         """RenderConfig.frame_uint8 (the swap-chain R8G8B8A8_UNORM analog)
         quantizes on device: dtype uint8 and within 1 LSB of the fp32

@@ -321,6 +321,32 @@ class TestFusedMode:
         split.shutdown()
         fused.shutdown()
 
+    def test_fused_present_auto_raises_dup(self):
+        """Split parity for the deferred auto-raise (round-4 review
+        catch): a truncating fused frame must grow the dup window at
+        present() AND rebuild the frame program — the old present never
+        raised, and the jit closure baked dup in forever, so oversized
+        sprites stayed truncated for the rest of the run."""
+        from multi_adapter_particles_tpu.models.state import ParticleState
+        from multi_adapter_particles_tpu.runtime.fused import FusedEngine
+
+        app = AppConfig(num_particles=1, particle_size=200.0)
+        eng = FusedEngine(
+            SimConfig(num_particles=1), RenderConfig(width=256, height=256),
+            jax.devices()[0], use_pallas=False,
+        )
+        pos = np.array([[0.0, 0.0, 0.0, 0.0]], dtype=np.float32)
+        eng.restore(ParticleState.from_aos(pos, np.zeros((1, 3), np.float32)))
+        out = eng.frame(app)
+        assert int(out.truncated) > 0  # giant sprite exceeds the 2x2 window
+        dup0 = (eng.renderer.dup_y, eng.renderer.dup_x)
+        prog0 = eng._fused
+        eng.present()
+        assert (eng.renderer.dup_y, eng.renderer.dup_x) != dup0
+        assert eng._fused is not prog0  # next frame retraces with new dup
+        out2 = eng.frame(app)
+        assert int(out2.truncated) == 0  # lossless after the raise
+
     def test_fused_draw_toggle(self):
         app = small_app()
         fused = ParticlesApp(

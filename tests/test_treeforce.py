@@ -417,6 +417,44 @@ class TestPallasSweep:
         assert int(d_st) > 0
         assert np.isfinite(np.asarray(a_st)).all()
 
+    def test_sub_budget_shortfall_is_global_under_ownership(self, monkeypatch):
+        """dropped_pairs must be identical on every device (the mesh
+        contract in the near_field_tree docstring): with a starved
+        sub-pair budget the shortfall is recounted from the
+        un-owner-masked survivor list, so complementary owner halves
+        report the same global number (round-4 review catch: the
+        owner-masked count diverged per device)."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        rng = np.random.default_rng(17)
+        n = 1024
+        pos3 = np.concatenate(
+            [
+                rng.normal(0, 60, (n // 2, 3)),
+                rng.normal(300, 60, (n // 2, 3)),
+            ]
+        ).astype(np.float32)
+        pos = aos(pos3)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        sub = treeforce.host_block_pairs(pos, box, r_c, gn, block=32)[0]
+        starve = max(2, sub // 2)
+        _, d_all = near_field_tree(
+            pos, box, MASS, EPS2, r_c, gn, block=128,
+            sub_pair_budget=starve,
+        )
+        dropped = []
+        for parity in (0, 1):
+            _, d_p = near_field_tree(
+                pos, box, MASS, EPS2, r_c, gn, block=128,
+                sub_pair_budget=starve,
+                block_owner_fn=lambda ids, p=parity: (ids % 2) == p,
+            )
+            dropped.append(int(d_p))
+        assert dropped[0] == dropped[1] == int(d_all) > 0
+
     def test_host_sub_pair_budget_gates_on_block_width(self):
         from multi_adapter_particles_tpu.ops.treeforce import (
             host_sub_pair_budget,

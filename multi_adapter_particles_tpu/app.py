@@ -29,7 +29,9 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                lambda: setattr(app, "gui", False))
     p.add_flag("novsync", "disable frame pacing",
                lambda: setattr(app, "vsync", False))
-    p.add_flag("fullscreen", "borderless fullscreen (no-op headless; kept for parity)",
+    p.add_flag("fullscreen",
+               "borderless fullscreen: render at the fullscreen resolution "
+               "(RenderConfig.fullscreen_width/height, default 1920x1080)",
                lambda: setattr(app, "fullscreen", True))
     p.add_flag("noext", "disable the queue-throttle extension analog",
                lambda: setattr(app, "use_queue_extension", False))

@@ -126,10 +126,26 @@ class RenderConfig:
     # Quantize the frame to RGB8 on device — the reference swap chain's
     # R8G8B8A8_UNORM analog (`Render.cpp:292`); 4x cheaper host pulls.
     frame_uint8: bool = False
+    # Borderless-fullscreen resolution (`Render.cpp:287-413`): the
+    # headless stand-in for the display's native mode. Flipping
+    # `AppConfig.fullscreen` live drains and rebuilds the render engine
+    # at this resolution (`Particles.cpp:458-463,488-509`).
+    fullscreen_width: int = 1920
+    fullscreen_height: int = 1080
 
     @property
     def aspect(self) -> float:
         return self.width / self.height
+
+    def resolved(self, fullscreen: bool) -> "RenderConfig":
+        """The config the render engine should actually run at: this one,
+        or the fullscreen-resolution variant of it when the runtime
+        fullscreen toggle is on (the swap-chain rebuild analog)."""
+        if not fullscreen:
+            return self
+        return dataclasses.replace(
+            self, width=self.fullscreen_width, height=self.fullscreen_height
+        )
 
 
 @dataclasses.dataclass

@@ -110,6 +110,7 @@ class ParticlesApp:
         self._prev_compute_index = compute_ad.index
         self._prev_render_index = render_ad.index
         self._prev_use_extension = self.app.use_queue_extension
+        self._prev_fullscreen = self.app.fullscreen
 
         self.mesh_devices = mesh_devices
         self.extension = None
@@ -124,8 +125,9 @@ class ParticlesApp:
             from multi_adapter_particles_tpu.runtime.fused import FusedEngine
 
             self.fused_engine = FusedEngine(
-                self.sim_config, self.render_config, compute_ad.device,
-                self.metrics, seed=seed, donate=not debug,
+                self.sim_config, self._active_render_config(),
+                compute_ad.device, self.metrics, seed=seed,
+                donate=not debug,
             )
             # one object serves both roles (zero copies, one program)
             self.compute = self.fused_engine
@@ -171,10 +173,16 @@ class ParticlesApp:
                 donate=not debug,  # debug: no aliasing, hazards can't hide
             )
         self.render = RenderEngine(
-            self.render_config, render_ad.device, self.metrics
+            self._active_render_config(), render_ad.device, self.metrics
         )
         self.share_handles()
         self.frame_count = 0
+
+    def _active_render_config(self) -> RenderConfig:
+        """The resolution the render engine runs at right now: the
+        windowed config, or its fullscreen-resolution variant when the
+        runtime fullscreen toggle is on (`Render.cpp:287-413`)."""
+        return self.render_config.resolved(self.app.fullscreen)
 
     # -- handle brokering (`Particles::ShareHandles`, Particles.cpp:191-208) ----
     def share_handles(self) -> None:
@@ -355,7 +363,12 @@ class ParticlesApp:
 
         cchange = self.compute_adapter.index != self._prev_compute_index
         rchange = self.render_adapter.index != self._prev_render_index
-        if not (cchange or rchange):
+        # fullscreen/resolution change: drain + render-engine rebuild at
+        # the new resolution (`Particles.cpp:458-463,488-509` — the
+        # swap-chain/fullscreen machinery `Render.cpp:287-413`); camera
+        # and renderer dup state survive, sim state is untouched.
+        fschange = self.app.fullscreen != self._prev_fullscreen
+        if not (cchange or rchange or fschange):
             return
 
         if self.fused_engine is not None:
@@ -369,17 +382,27 @@ class ParticlesApp:
             from multi_adapter_particles_tpu.runtime.fused import FusedEngine
 
             self.fused_engine.wait_for_gpu()
-            old_camera = self.fused_engine.camera
+            old = self.fused_engine
             self.fused_engine = FusedEngine(
-                self.sim_config, self.render_config,
+                self.sim_config, self._active_render_config(),
                 self.compute_adapter.device, self.metrics,
-                prev=self.fused_engine, donate=not self.debug,
+                prev=old, donate=not self.debug,
             )
-            self.fused_engine.camera = old_camera
+            self.fused_engine.camera = old.camera
+            # the lossless dup window is learned state (auto-raise):
+            # carry it so the rebuilt program keeps big sprites intact
+            if (old.renderer.dup_y, old.renderer.dup_x) != (
+                self.fused_engine.renderer.dup_y,
+                self.fused_engine.renderer.dup_x,
+            ):
+                self.fused_engine.renderer.dup_y = old.renderer.dup_y
+                self.fused_engine.renderer.dup_x = old.renderer.dup_x
+                self.fused_engine._fused = self.fused_engine._rebuild_fused()
             self.compute = self.fused_engine
             self.render = self.fused_engine
             self._prev_compute_index = self.compute_adapter.index
             self._prev_render_index = self.render_adapter.index
+            self._prev_fullscreen = self.app.fullscreen
             self.share_handles()
             return
 
@@ -387,16 +410,32 @@ class ParticlesApp:
         self.render.wait_for_gpu()
         self.compute.wait_for_gpu()
 
-        if rchange:
-            # Rebuild the render engine on the new device (camera survives —
-            # the reference recreates it but the view is static state here).
+        if rchange or fschange:
+            # Rebuild the render engine on the (possibly new) device at the
+            # active resolution (camera survives — the reference recreates
+            # it but the view is static state here; the learned dup window
+            # survives too so big sprites stay lossless).
+            from multi_adapter_particles_tpu.render.renderer import Renderer
+
+            old_rend = self.render.renderer
+            rcfg = self._active_render_config()
+            renderer = Renderer(
+                rcfg,
+                seg_q=old_rend.seg_q,
+                dup_y=old_rend.dup_y,
+                dup_x=old_rend.dup_x,
+                blend=old_rend.blend,
+                auto_raise_dup=old_rend.auto_raise_dup,
+            )
             self.render = RenderEngine(
-                self.render_config,
+                rcfg,
                 self.render_adapter.device,
                 self.metrics,
                 camera=self.render.camera,
+                renderer=renderer,
             )
             self._prev_render_index = self.render_adapter.index
+            self._prev_fullscreen = self.app.fullscreen
 
         if cchange:
             # New engine on the new device, migrating state (CopyState).

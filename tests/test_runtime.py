@@ -393,6 +393,91 @@ class TestRenderReassignment:
         app.shutdown()
 
 
+class TestFullscreenReconfiguration:
+    """Live fullscreen flip = drain + render-engine rebuild at the new
+    resolution (`Particles.cpp:458-463,488-509`, swap-chain machinery
+    `Render.cpp:287-413`); camera + learned dup window survive, the
+    trajectory is untouched."""
+
+    FS_RENDER = RenderConfig(
+        width=256, height=256, fullscreen_width=128, fullscreen_height=64
+    )
+
+    def _app(self, **kw):
+        return ParticlesApp(
+            AppConfig(num_particles=N, particle_size=10.0),
+            SimConfig(num_particles=N),
+            self.FS_RENDER,
+            **kw,
+        )
+
+    def test_split_mode_flip_and_back(self):
+        app = self._app()
+        ref = ComputeEngine(
+            SimConfig(num_particles=N), app.compute_adapter.device, seed=0
+        )
+        app.draw()
+        ref.simulate()
+        assert np.asarray(app.render.last_frame).shape == (256, 256, 3)
+        app.render.camera.yaw += 0.25
+        yaw = app.render.camera.yaw
+        app.render.renderer.dup_y = 3  # learned auto-raise state
+        app.app.fullscreen = True
+        app.draw()  # reconfigures post-present: NEXT frame is fullscreen
+        ref.simulate()
+        app.draw()
+        ref.simulate()
+        assert app.render.config.width == 128
+        assert app.render.config.height == 64
+        assert np.asarray(app.render.last_frame).shape == (64, 128, 3)
+        assert app.render.camera.yaw == yaw       # camera survived
+        assert app.render.renderer.dup_y == 3     # dup window survived
+        # trajectory is bit-continuous across the rebuild
+        app.compute.wait_for_gpu()
+        np.testing.assert_array_equal(
+            np.asarray(app.compute.positions), np.asarray(ref.positions)
+        )
+        app.app.fullscreen = False                # and back to windowed
+        app.draw()
+        app.draw()
+        assert np.asarray(app.render.last_frame).shape == (256, 256, 3)
+        app.shutdown()
+
+    def test_starts_fullscreen(self):
+        app = self._app()
+        try:
+            app2 = ParticlesApp(
+                AppConfig(
+                    num_particles=N, particle_size=10.0, fullscreen=True
+                ),
+                SimConfig(num_particles=N),
+                self.FS_RENDER,
+            )
+            app2.draw()
+            assert np.asarray(app2.render.last_frame).shape == (64, 128, 3)
+            app2.shutdown()
+        finally:
+            app.shutdown()
+
+    def test_fused_mode_flip(self):
+        app = self._app(fused=True)
+        app.draw()
+        app.compute.wait_for_gpu()
+        before = np.asarray(app.compute.positions)
+        app.app.fullscreen = True
+        app.draw()  # reconfigures post-present (migrates state via prev=)
+        app.draw()
+        assert np.asarray(app.render.last_frame).shape == (64, 128, 3)
+        # sim state migrated, not reset: positions kept evolving from
+        # `before`, still finite and in the demo radius envelope
+        app.compute.wait_for_gpu()
+        after = np.asarray(app.compute.positions)
+        assert np.isfinite(after[:, :N]).all()
+        assert not np.array_equal(before, after)
+        assert app.compute.get_fence_value() == 3
+        app.shutdown()
+
+
 class TestFusedPm:
     def test_fused_with_pm_grid(self):
         """Fused single-program frame works with the PM force model."""

@@ -27,6 +27,15 @@ and "extra" carries the staged configs, each with its own vs_baseline:
   6. (round 4+) render-only ms at 4M, 1024x1024 — the draw half of the
      reference default alone. Baseline: 159.8 ms = this repo's round-3
      measured anchor (regression gate). vs_baseline = 159.8/value.
+  7. (round 5+) fused-mode frame at the reference-default 4M — the
+     async-compute analog at the shipped N (`Particles.cpp:202-207`
+     offers both modes at any N). Affordable now that the persistent
+     compilation cache (utils/compilecache.py) makes the ~7-min fused-4M
+     compile a one-time cost per toolchain. vs_baseline = 16.67/value.
+  8. (round 5+) 16.8M end-to-end frame (pm_grid G=128 + 1024x1024
+     chunked render — 4x the reference's maximum N on one chip).
+     Baseline: 852.8 ms = this repo's round-3 measured frame
+     (docs/demo_pm_16m_metrics.json). vs_baseline = 852.8/value.
 
 Timing notes (see .claude/skills/verify/SKILL.md): on the axon tunnel,
 `block_until_ready` does not reliably block for Pallas outputs, so every
@@ -46,6 +55,7 @@ FRAME_BUDGET_MS = 1000.0 / 60.0        # README.md:12 60 FPS win condition
 RENDER_R1_MS = 35.9                    # round-1 measured 262K @1024^2
 RENDER_4M_R3_MS = 159.8                # round-3 measured 4M @1024^2 anchor
 PM_R1_MS = 553.0                       # round-1 measured 4M @G=128
+FRAME_16M_R3_MS = 852.8                # round-3 16.8M frame (PM+render)
 EXACT_262K_MS = 371.0                  # Pallas all-pairs on the 262K demo
 #                                        scene (the reference's only exact
 #                                        mode) — tree-P3M's bar to beat
@@ -110,8 +120,14 @@ def _bench_kernel(jax, n: int) -> dict:
     }
 
 
-def _bench_frame(jax, n: int, warm: int, timed: int) -> dict:
-    """256K + 720p full split-mode frame (BASELINE.json config #3)."""
+def _bench_frame(jax, n: int, warm: int, timed: int,
+                 sim_kw: dict | None = None,
+                 width: int = 1280, height: int = 720,
+                 baseline_ms: float = FRAME_BUDGET_MS,
+                 tag: str = "") -> dict:
+    """Full split-mode frame loop (default: 720p central-well —
+    BASELINE.json config #3; `sim_kw`/`width`/`height` parameterize the
+    16.8M pm_grid stage)."""
     from multi_adapter_particles_tpu.config import (
         AppConfig, RenderConfig, SimConfig,
     )
@@ -120,8 +136,8 @@ def _bench_frame(jax, n: int, warm: int, timed: int) -> dict:
 
     app = ParticlesApp(
         AppConfig(num_particles=n, vsync=False, gui=False),
-        SimConfig(num_particles=n),
-        RenderConfig(width=1280, height=720),
+        SimConfig(num_particles=n, **(sim_kw or {})),
+        RenderConfig(width=width, height=height),
         seed=42,
         async_timers=False,
     )
@@ -141,11 +157,11 @@ def _bench_frame(jax, n: int, warm: int, timed: int) -> dict:
     ms = (time.perf_counter() - t0) * 1000.0 / timed
     app.shutdown()
     return {
-        "metric": f"split-mode frame ms @ {n} particles, 1280x720 "
-        "(sim+render, dispatch-ahead)",
+        "metric": f"split-mode frame ms @ {n} particles, {width}x{height} "
+        f"(sim+render, dispatch-ahead{tag})",
         "value": ms,
         "unit": "ms/frame",
-        "vs_baseline": FRAME_BUDGET_MS / ms,
+        "vs_baseline": baseline_ms / ms,
     }
 
 
@@ -297,6 +313,12 @@ def _bench_tree(jax, n: int, grid: int, reps: int,
 
 
 def main() -> int:
+    from multi_adapter_particles_tpu.utils import compilecache
+
+    # warm launches fetch compiled programs instead of recompiling —
+    # makes the fused-4m stage (a ~7-min cold compile) affordable
+    compilecache.enable("auto")
+
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
@@ -370,11 +392,22 @@ def main() -> int:
             jax, n_pm, 30 if on_tpu else warm, 40 if on_tpu else timed)),
         ("fused", lambda: _bench_fused(
             jax, n_frame, warm_frames, timed_frames)),
-        # NO fused stage at 4M: measured 2026-08-19 (fused4m probe) —
-        # 147 ms/frame single-pass, 113 after the fused frame program
-        # learned the chunked fold, vs split's 93; split stays the right
-        # (and recorded) mode at the reference-default N, and the fused
-        # 4M compile alone costs ~7 min of driver bench time.
+        # round 5: the fused stage at the reference-default 4M is
+        # affordable now — the persistent compilation cache makes its
+        # ~7-min compile a once-per-toolchain cost (a warm run fetches).
+        ("fused-4m", lambda: _bench_fused(
+            jax, n_pm, 20 if on_tpu else warm, 30 if on_tpu else timed)),
+        # 16.8M end-to-end (4x the reference's max N, one chip): pm_grid
+        # G=128 + 1024^2 chunked render through the same frame loop
+        ("frame-16m", lambda: _bench_frame(
+            jax, 16_777_216 if on_tpu else 8192,
+            3 if on_tpu else warm, 8 if on_tpu else timed,
+            sim_kw={"force_model": "pm_grid",
+                    "pm_grid_size": 128 if on_tpu else 16},
+            width=1024, height=1024,
+            baseline_ms=FRAME_16M_R3_MS,
+            tag="; pm_grid self-gravity",
+        )),
     ):
         try:
             extra.append(fn())

@@ -94,6 +94,12 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               "repeat launches of the same (N, seed, box, cutoff) skip "
               "the host tree probes (~66 s at 4M)",
               lambda v: extra.__setitem__("probe_cache", v))
+    p.add_str("compilecache",
+              "persistent XLA compilation cache: auto (default, ~/.cache/"
+              "multi_adapter_particles_tpu/xla) | off | a dir — warm "
+              "launches fetch compiled programs instead of recompiling "
+              "(the fused 4M frame program alone is ~7 min cold)",
+              lambda v: extra.__setitem__("compile_cache", v))
     p.add_int("meshdevices", "run compute on a mesh of N devices (sharded sim)",
               lambda v: extra.__setitem__("mesh_devices", v))
     p.add_flag("shardrender", "with -meshdevices: shard the RENDER role "
@@ -184,6 +190,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Heavy imports after flag parsing so `-?` is instant.
     from multi_adapter_particles_tpu.runtime.orchestrator import ParticlesApp
     from multi_adapter_particles_tpu.runtime.devices import enumerate_adapters
+    from multi_adapter_particles_tpu.utils import compilecache
+
+    # Persistent XLA compilation cache (the runtime-shader-compile
+    # analog made warm-startable): on by default, like -probecache.
+    compilecache.enable(extra.get("compile_cache", "auto"))
 
     if extra.get("list_adapters"):
         for a in enumerate_adapters():

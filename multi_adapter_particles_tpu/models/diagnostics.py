@@ -164,13 +164,41 @@ def mesh_potential_and_accel(
     return 0.5 * jnp.sum(u), accel, dropped
 
 
+def mesh_potential_only(
+    position: Array,
+    g_scale: float,
+    softening_squared: float,
+    grid: int,
+    box: float,
+    cutoff_cells: float = 6.75,
+    pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
+) -> tuple[Array, Array]:
+    """P³M-split (potential, dropped_pairs) WITHOUT the force work: no
+    gradient field solves, potential-only near sweep (~2x fewer pair
+    ops). The potential matches `mesh_potential_and_accel`'s to
+    fusion-level rounding (same scalar solve, same pair list and
+    accumulation order — `ops/p3m.p3m_potential_with_overflow`). Used
+    when the run's own accel is threaded in for the half-kick
+    (VERDICT r4 #4): measured 5.1 s -> see ROADMAP for the @4M number."""
+    from multi_adapter_particles_tpu.ops import p3m
+
+    u, dropped = p3m.p3m_potential_with_overflow(
+        position, grid=grid, box=box, g_const=g_scale,
+        softening_squared=softening_squared, cutoff_cells=cutoff_cells,
+        pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+    )
+    return 0.5 * jnp.sum(u), dropped
+
+
 def make_diagnostics(
     config: SimConfig,
     sync: bool = True,
     j_tile: int = 1024,
     potential_mode: str = "auto",
     pair_budget: int | None = None,
-) -> Callable[[ParticleState], Dict[str, Array]]:
+    external_accel: bool = False,
+) -> Callable[..., Dict[str, Array]]:
     """Build the jitted `state -> {scalar gauges}` diagnostics function.
 
     Returned keys: kinetic, potential, energy (their sum), momentum_x/y/z,
@@ -183,6 +211,14 @@ def make_diagnostics(
     mesh above (the exact sum at the reference-default 4M is a ~94 s
     dispatch). `pair_budget` sizes the mesh gauge's tree pair list
     (None = density-free default; `DiagnosticsProbe` probes the scene).
+
+    `external_accel`: the returned fn takes `(state, accel)` and uses the
+    SUPPLIED accel [3, Np] for the half-kick velocity sync — the run's
+    own dynamics force, which is the physically-right de-stagger (stored
+    velocities are staggered by the force that was APPLIED). The mesh
+    gauge then skips all its force work (`mesh_potential_only`); the
+    potential is identical between the two paths (to fusion-level
+    rounding on the XLA fallback; bitwise on the Pallas sweep).
     """
     n = config.num_particles
     dt = jnp.float32(config.dt)
@@ -201,38 +237,16 @@ def make_diagnostics(
         or (potential_mode == "auto" and n > _EXACT_MAX_N)
     )
 
-    def diagnostics(state: ParticleState) -> Dict[str, Array]:
-        mask = state.make_mask(n)
+    def _central_potential(pos, mask):
+        r = pos[:3]
+        d2 = jnp.sum(r * r, axis=0) + jnp.float32(config.softening_squared)
+        return jnp.sum(
+            mask * (-jnp.float32(config.mass)) * jax.lax.rsqrt(d2)
+        )
+
+    def _reduce(state, mask, potential, accel, extra):
         pos = state.position
-        vel = state.velocity
-        extra: Dict[str, Array] = {}
-
-        if use_mesh:
-            potential, accel, dropped = mesh_potential_and_accel(
-                pos, g_scale, config.softening_squared,
-                grid=_gauge_grid(n, config.pm_grid_size), box=config.pm_box,
-                cutoff_cells=config.p3m_cutoff_cells,
-                pair_budget=pair_budget,
-                sub_pair_budget=config.p3m_sub_pair_budget,
-            )
-            extra["diag_dropped_pairs"] = dropped
-        elif model in _SELF_GRAVITY:
-            potential, accel = pairwise_potential_and_accel(
-                pos, mask, g_scale, config.softening_squared, j_tile
-            )
-        else:
-            r = pos[:3]
-            d2 = jnp.sum(r * r, axis=0) + jnp.float32(
-                config.softening_squared
-            )
-            potential = jnp.sum(
-                mask * (-jnp.float32(config.mass)) * jax.lax.rsqrt(d2)
-            )
-            accel = central_well_accel(
-                pos, config.mass, config.softening_squared
-            )
-
-        v = vel + 0.5 * dt * accel if sync else vel
+        v = state.velocity + 0.5 * dt * accel if sync else state.velocity
         vm = v * mask[None, :]
         kinetic = 0.5 * jnp.sum(vm * vm)
         momentum = jnp.sum(vm, axis=1)
@@ -252,6 +266,72 @@ def make_diagnostics(
         out.update(extra)
         return out
 
+    if external_accel:
+
+        def diagnostics_ext(
+            state: ParticleState, accel: Array
+        ) -> Dict[str, Array]:
+            mask = state.make_mask(n)
+            pos = state.position
+            extra: Dict[str, Array] = {}
+            if use_mesh:
+                potential, dropped = mesh_potential_only(
+                    pos, g_scale, config.softening_squared,
+                    grid=_gauge_grid(n, config.pm_grid_size),
+                    box=config.pm_box,
+                    cutoff_cells=config.p3m_cutoff_cells,
+                    pair_budget=pair_budget,
+                    sub_pair_budget=config.p3m_sub_pair_budget,
+                )
+                extra["diag_dropped_pairs"] = dropped
+            elif model in _SELF_GRAVITY:
+                potential, _ = pairwise_potential_and_accel(
+                    pos, mask, g_scale, config.softening_squared, j_tile
+                )
+            else:
+                potential = _central_potential(pos, mask)
+            return _reduce(state, mask, potential, accel, extra)
+
+        return jax.jit(diagnostics_ext)
+
+    def diagnostics(state: ParticleState) -> Dict[str, Array]:
+        mask = state.make_mask(n)
+        pos = state.position
+        extra: Dict[str, Array] = {}
+
+        if use_mesh:
+            if sync:
+                potential, accel, dropped = mesh_potential_and_accel(
+                    pos, g_scale, config.softening_squared,
+                    grid=_gauge_grid(n, config.pm_grid_size),
+                    box=config.pm_box,
+                    cutoff_cells=config.p3m_cutoff_cells,
+                    pair_budget=pair_budget,
+                    sub_pair_budget=config.p3m_sub_pair_budget,
+                )
+            else:
+                # no half-kick -> no force needed: potential-only gauge
+                potential, dropped = mesh_potential_only(
+                    pos, g_scale, config.softening_squared,
+                    grid=_gauge_grid(n, config.pm_grid_size),
+                    box=config.pm_box,
+                    cutoff_cells=config.p3m_cutoff_cells,
+                    pair_budget=pair_budget,
+                    sub_pair_budget=config.p3m_sub_pair_budget,
+                )
+                accel = jnp.zeros_like(pos[:3])
+            extra["diag_dropped_pairs"] = dropped
+        elif model in _SELF_GRAVITY:
+            potential, accel = pairwise_potential_and_accel(
+                pos, mask, g_scale, config.softening_squared, j_tile
+            )
+        else:
+            potential = _central_potential(pos, mask)
+            accel = central_well_accel(
+                pos, config.mass, config.softening_squared
+            )
+        return _reduce(state, mask, potential, accel, extra)
+
     return jax.jit(diagnostics)
 
 
@@ -264,25 +344,47 @@ class DiagnosticsProbe:
     `potential_mode="mesh"`) and the config carries no probed
     `p3m_pair_budget`, the first sample sizes the tree pair budget from
     that state's positions (`treeforce.host_pair_budget` — one host
-    sort) so clustered scenes don't silently drop pairs."""
+    sort) so clustered scenes don't silently drop pairs.
+
+    `use_run_accel` (None = auto): thread the run's OWN force into the
+    half-kick velocity sync instead of the gauge's tree force, letting
+    the mesh gauge skip all force work (`mesh_potential_only`). Auto
+    enables it exactly when it wins: mesh gauge active + a pm_grid run,
+    whose force is cheap to evaluate (one PM solve) and is the
+    physically-right de-stagger. p3m runs keep the fused gauge (their
+    force IS the tree force the fused sweep produces for free); the
+    exact (<=262K) and central-well gauges get accel as a by-product
+    anyway. A caller that already holds the step's accel can also pass
+    it to `maybe_publish(accel=...)` directly."""
 
     def __init__(self, config: SimConfig, every: int, sync: bool = True,
-                 potential_mode: str = "auto"):
+                 potential_mode: str = "auto",
+                 use_run_accel: Optional[bool] = None):
         self.every = max(1, int(every))
         self._config = config
         self._sync = sync
         self._mode = potential_mode
         self._fn = None
+        self._fn_ext = None
+        self._run_accel = None
         self._e0: Optional[float] = None
+        if use_run_accel is None:
+            use_run_accel = (
+                config.force_model == "pm_grid" and self._needs_mesh()
+            )
+        self.use_run_accel = bool(use_run_accel) and sync
 
-    def _build(self, state):
+    def _needs_mesh(self) -> bool:
         cfg = self._config
-        budget = cfg.p3m_pair_budget
-        needs_mesh = cfg.force_model in _SELF_GRAVITY and (
+        return cfg.force_model in _SELF_GRAVITY and (
             self._mode == "mesh"
             or (self._mode == "auto" and cfg.num_particles > _EXACT_MAX_N)
         )
-        if needs_mesh and budget is None:
+
+    def _budget(self, state):
+        cfg = self._config
+        budget = cfg.p3m_pair_budget
+        if self._needs_mesh() and budget is None:
             import numpy as np
 
             from multi_adapter_particles_tpu.ops.treeforce import (
@@ -295,17 +397,35 @@ class DiagnosticsProbe:
             budget = host_pair_budget(
                 np.asarray(state.position), cfg.pm_box, r_c, gn
             )
+        return budget
+
+    def _build(self, state, external_accel: bool):
         return make_diagnostics(
-            cfg, sync=self._sync, potential_mode=self._mode,
-            pair_budget=budget,
+            self._config, sync=self._sync, potential_mode=self._mode,
+            pair_budget=self._budget(state), external_accel=external_accel,
         )
 
-    def maybe_publish(self, frame_count: int, state, metrics) -> bool:
+    def maybe_publish(self, frame_count: int, state, metrics,
+                      accel=None) -> bool:
         if frame_count % self.every:
             return False
-        if self._fn is None:
-            self._fn = self._build(state)
-        vals = {k: float(v) for k, v in self._fn(state).items()}
+        if accel is None and self.use_run_accel:
+            if self._run_accel is None:
+                from multi_adapter_particles_tpu.models.integrator import (
+                    make_accel_fn_for,
+                )
+
+                self._run_accel = jax.jit(make_accel_fn_for(self._config))
+            accel = self._run_accel(state.position)
+        if accel is not None:
+            if self._fn_ext is None:
+                self._fn_ext = self._build(state, external_accel=True)
+            gauges = self._fn_ext(state, accel)
+        else:
+            if self._fn is None:
+                self._fn = self._build(state, external_accel=False)
+            gauges = self._fn(state)
+        vals = {k: float(v) for k, v in gauges.items()}
         if self._e0 is None:
             self._e0 = vals["energy"]
         denom = abs(self._e0) or 1.0

@@ -142,6 +142,58 @@ def _apply_num_sim_mask(
 # ---------------------------------------------------------------------------
 # Step builders
 # ---------------------------------------------------------------------------
+def make_accel_fn_for(config: SimConfig) -> Callable[[Array], Array]:
+    """The run's own accel function (position [4, Np] -> accel [3, Np]) —
+    exactly the force `make_step` applies each frame. Shared with the
+    diagnostics probe so the half-kick velocity sync can reuse the
+    dynamics force (the physically-right de-stagger: stored velocities
+    are staggered by the APPLIED force) instead of recomputing the
+    gauge's tree force."""
+    if config.force_model == "central_well":
+        return functools.partial(
+            central_well_accel,
+            mass=config.mass,
+            softening_squared=config.softening_squared,
+        )
+    if config.force_model == "pm_grid":
+        from multi_adapter_particles_tpu.ops import pm
+
+        return pm.make_accel_fn(
+            mass=config.mass * config.interaction_scale,
+            softening_squared=config.softening_squared,
+            grid=config.pm_grid_size,
+            box=config.pm_box,
+        )
+    if config.force_model == "p3m":
+        from multi_adapter_particles_tpu.ops import p3m
+
+        return p3m.make_accel_fn(
+            mass=config.mass * config.interaction_scale,
+            softening_squared=config.softening_squared,
+            grid=config.pm_grid_size,
+            box=config.pm_box,
+            cutoff_cells=config.p3m_cutoff_cells,
+            capacity=config.p3m_capacity,
+            near_mode=config.p3m_near_mode,
+            pair_budget=config.p3m_pair_budget,
+            sub_pair_budget=config.p3m_sub_pair_budget,
+        )
+
+    def accel_fn(position, _n=config.num_particles):
+        m = (
+            jnp.arange(position.shape[-1]) < _n
+        ).astype(position.dtype)
+        return all_pairs_accel(
+            position,
+            mass=config.mass,
+            softening_squared=config.softening_squared,
+            interaction_scale=config.interaction_scale,
+            mask=m,
+        )
+
+    return accel_fn
+
+
 def make_step(
     config: SimConfig,
     accel_fn: Optional[Callable[[Array], Array]] = None,
@@ -157,49 +209,7 @@ def make_step(
     dispatch with a different group count).
     """
     if accel_fn is None:
-        if config.force_model == "central_well":
-            accel_fn = functools.partial(
-                central_well_accel,
-                mass=config.mass,
-                softening_squared=config.softening_squared,
-            )
-        elif config.force_model == "pm_grid":
-            from multi_adapter_particles_tpu.ops import pm
-
-            accel_fn = pm.make_accel_fn(
-                mass=config.mass * config.interaction_scale,
-                softening_squared=config.softening_squared,
-                grid=config.pm_grid_size,
-                box=config.pm_box,
-            )
-        elif config.force_model == "p3m":
-            from multi_adapter_particles_tpu.ops import p3m
-
-            accel_fn = p3m.make_accel_fn(
-                mass=config.mass * config.interaction_scale,
-                softening_squared=config.softening_squared,
-                grid=config.pm_grid_size,
-                box=config.pm_box,
-                cutoff_cells=config.p3m_cutoff_cells,
-                capacity=config.p3m_capacity,
-                near_mode=config.p3m_near_mode,
-                pair_budget=config.p3m_pair_budget,
-                sub_pair_budget=config.p3m_sub_pair_budget,
-            )
-        else:
-            mask = None  # padding mask applied by caller via closure below
-
-            def accel_fn(position, _n=config.num_particles):
-                m = (
-                    jnp.arange(position.shape[-1]) < _n
-                ).astype(position.dtype)
-                return all_pairs_accel(
-                    position,
-                    mass=config.mass,
-                    softening_squared=config.softening_squared,
-                    interaction_scale=config.interaction_scale,
-                    mask=m,
-                )
+        accel_fn = make_accel_fn_for(config)
 
     def step(state: ParticleState, num_sim: Optional[int] = None) -> ParticleState:
         accel = accel_fn(state.position)

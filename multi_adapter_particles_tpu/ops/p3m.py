@@ -428,6 +428,45 @@ def p3m_accel(position, **kw):
     return acc
 
 
+def p3m_potential_with_overflow(
+    position: jax.Array,   # [4, N]
+    grid: int = 64,
+    box: float = 2048.0,
+    g_const: float = 1.0,
+    softening_squared: float = 25.0,
+    cutoff_cells: float = 6.75,
+    pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
+):
+    """-> (u [N], overflow): the potential HALF of
+    `p3m_accel_with_overflow(..., with_potential=True)` with none of its
+    force work — no gradient field solves, potential-only near sweep
+    (~2x fewer pair ops). u matches the fused variant's to fusion-level
+    rounding (same scalar mesh solve, same pair list, same accumulation
+    order; bitwise on the Pallas sweep, ~1 ULP on the XLA fallback).
+    The diagnostics gauge uses this when the run's own accel is threaded
+    in for the half-kick instead of recomputing a tree force."""
+    validate_cutoff_cells(cutoff_cells)
+    r_c = cutoff_cells * box / grid
+    gn = max(int(box // r_c), 1)
+    from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
+
+    rho = pm.deposit_cic(position, grid, box)
+    u_near, overflow = near_field_tree(
+        position, box, g_const, softening_squared, r_c, gn,
+        pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+        with_potential=True, potential_only=True,
+    )
+    rows_phi = _potential_rows_long(rho, grid, box, g_const, r_c)
+    u_long, inside = pm._interp_scalar(rows_phi, position, grid, box)
+    sigma_eff = r_c * _SIGMA_PER_CUTOFF
+    self_long = jnp.float32(
+        g_const * float((2.0 / jnp.pi) ** 0.5) / sigma_eff
+    )
+    u_long = u_long + jnp.where(inside, self_long, 0.0)
+    return u_long + u_near, overflow
+
+
 def host_overflow_count(
     position,              # array-like [4, N] (host or device)
     grid: int,

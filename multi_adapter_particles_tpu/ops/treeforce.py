@@ -221,6 +221,7 @@ def _sweep_kernel(
     eps2: float,
     sigma: float,
     with_potential: bool = False,
+    potential_only: bool = False,
 ):
     # Targets and output ride the SAME [4, nb*B] SoA array as the
     # j-stream: a [nb*B, 4] operand/result lane-pads 4 -> 128 in the
@@ -281,12 +282,17 @@ def _sweep_kernel(
         dy = tile[1:2, :] - yi
         dz = tile[2:3, :] - zi
         d2 = dx * dx + dy * dy + dz * dz
-        f = short_factor_cheb(d2, eps2, jnp.float32(sigma))
         if with_potential:
             # diagnostics variant: channel 3 (a zero row in the force-only
             # trace) carries the short-range pair potential sum
             u = short_potential_cheb(d2, eps2, jnp.float32(sigma))
             au = au + jnp.sum(u, axis=1, keepdims=True)
+        if potential_only:
+            # the gauge reuses the run's own accel for the half-kick
+            # (VERDICT r4 #4): skip the force factor + 3 accumulate
+            # chains — ~2x fewer pair ops than the fused variant
+            return (ax, ay, az, au)
+        f = short_factor_cheb(d2, eps2, jnp.float32(sigma))
         return (
             ax + jnp.sum(dx * f, axis=1, keepdims=True),
             ay + jnp.sum(dy * f, axis=1, keepdims=True),
@@ -316,7 +322,7 @@ def _sweep_kernel(
 
 
 def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
-                       with_potential=False):
+                       with_potential=False, potential_only=False):
     """[4, nb*B] per-particle near sums (sorted order) via the VMEM sweep;
     channel 3 is the short-range pair potential when `with_potential`
     (zeros otherwise — the force-only trace pays no extra pair ops).
@@ -340,7 +346,7 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
     ).astype(jnp.int32)
     kernel = functools.partial(
         _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma),
-        with_potential=with_potential,
+        with_potential=with_potential, potential_only=potential_only,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -411,6 +417,7 @@ def near_field_tree(
     sub_pair_budget: int | None = None,
     block_owner_fn=None,
     with_potential: bool = False,
+    potential_only: bool = False,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -436,7 +443,16 @@ def near_field_tree(
     term removed, out-of-box particles 0; owner-masked like the force,
     so psum composes) -> (accel, u, dropped_pairs). The force-only
     trace is unchanged — the extra pair ops exist only in this variant.
+    `potential_only` (requires `with_potential`): skip the force channels
+    entirely -> (u, dropped_pairs) — ~2x fewer pair ops; the diagnostics
+    gauge uses it when the run's own accel is supplied for the half-kick.
+    Same pair list and accumulation order as the fused variant: the
+    Pallas sweep's au chain is literally unchanged (bitwise-equal u);
+    the XLA fallback matches to fusion-level rounding (~1 ULP — dropping
+    the force channels changes one contraction decision).
     """
+    if potential_only and not with_potential:
+        raise ValueError("potential_only requires with_potential=True")
     n = position.shape[1]
     if block is None:
         block = default_block(n)
@@ -671,6 +687,7 @@ def near_field_tree(
             acc_b = _near_sweep_pallas(
                 sx, sy, sz, bounds, sweep_j, nb=sweep_nb, block=sweep_block,
                 eps2=eps2, sigma=float(sigma), with_potential=with_potential,
+                potential_only=potential_only,
             )
         else:
             acc_b = jnp.zeros((4, nb * block), jnp.float32)
@@ -682,6 +699,7 @@ def near_field_tree(
                     sweep_j[lo:hi], nb=sweep_nb, block=sweep_block,
                     eps2=eps2, sigma=float(sigma),
                     with_potential=with_potential,
+                    potential_only=potential_only,
                 )
         acc_x, acc_y, acc_z, acc_u = acc_b[0], acc_b[1], acc_b[2], acc_b[3]
     else:
@@ -689,7 +707,10 @@ def near_field_tree(
         by = sy.reshape(nb, block)
         bz = sz.reshape(nb, block)
         n_chunks = p_max // pc
-        nch = 4 if with_potential else 3
+        if potential_only:
+            nch = 1
+        else:
+            nch = 4 if with_potential else 3
 
         def chunk_body(args):
             ii, jj, vv = args                     # each [pc]
@@ -699,15 +720,17 @@ def near_field_tree(
             dyv = yj[:, None, :] - yi[:, :, None]
             dzv = zj[:, None, :] - zi[:, :, None]
             d2 = dxv * dxv + dyv * dyv + dzv * dzv
-            # Chebyshev factor: ~2x fewer ops than the erf form, 5.5e-6
-            # of exact everywhere (the f32 erf form itself loses 45% at
-            # r<0.01 to cancellation — see short_factor_cheb)
-            s = short_factor_cheb(d2, eps2, sigma) * vv[:, None, None]
-            parts = [
-                jnp.sum(s * dxv, axis=-1),
-                jnp.sum(s * dyv, axis=-1),
-                jnp.sum(s * dzv, axis=-1),
-            ]
+            parts = []
+            if not potential_only:
+                # Chebyshev factor: ~2x fewer ops than the erf form, 5.5e-6
+                # of exact everywhere (the f32 erf form itself loses 45% at
+                # r<0.01 to cancellation — see short_factor_cheb)
+                s = short_factor_cheb(d2, eps2, sigma) * vv[:, None, None]
+                parts = [
+                    jnp.sum(s * dxv, axis=-1),
+                    jnp.sum(s * dyv, axis=-1),
+                    jnp.sum(s * dzv, axis=-1),
+                ]
             if with_potential:
                 u = short_potential_cheb(d2, eps2, sigma)
                 parts.append(jnp.sum(u * vv[:, None, None], axis=-1))
@@ -740,8 +763,12 @@ def near_field_tree(
             ),
         )
         acc_b = acc_b.reshape(nb * block, nch)
-        acc_x, acc_y, acc_z = acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]
-        acc_u = acc_b[:, 3] if with_potential else None
+        if potential_only:
+            acc_u = acc_b[:, 0]
+            acc_x = acc_y = acc_z = None
+        else:
+            acc_x, acc_y, acc_z = acc_b[:, 0], acc_b[:, 1], acc_b[:, 2]
+            acc_u = acc_b[:, 3] if with_potential else None
 
     scale = jnp.float32(g_const)
     if not with_potential:
@@ -765,6 +792,11 @@ def near_field_tree(
         gate = gate & jnp.repeat(owner_b, block)
     u_self = jnp.float32(short_potential_self(float(eps2), float(sigma)))
     acc_u = jnp.where(gate, acc_u - u_self, 0.0)
+    if potential_only:
+        _, fu = jax.lax.sort(
+            (spid, acc_u), dimension=0, num_keys=1, is_stable=False,
+        )
+        return fu[:n] * scale, dropped
     _, fx, fy, fz, fu = jax.lax.sort(
         (spid, acc_x, acc_y, acc_z, acc_u),
         dimension=0, num_keys=1, is_stable=False,

@@ -11,9 +11,18 @@ stage boundary.
 
 `FusedEngine` satisfies both engine interfaces (compute: positions/fence/
 simulate bookkeeping; render: camera/last_frame/present), so the
-orchestrator can slot it into both roles. Per-stage timers are unavailable
-by construction (one program) — the frame EMA is the metric, exactly like
-vsynced present timing.
+orchestrator can slot it into both roles. Per-stage timers work in fused
+mode too (the reference shows "simulate ms"/"render ms" in BOTH modes —
+`Compute.cpp:445-446`, `Render.cpp:151-152`, displayed
+`Particles.cpp:399-409`): with `stage_markers=True` the frame program
+threads the state through a `lax.optimization_barrier` that also consumes
+a scalar anchor over every render output. The barrier is an identity (the
+trajectory stays bitwise-equal) but (a) forces every sim-stage op to
+schedule after every render-stage op and (b) shows up in the XLA
+profiler's op stream as an `opt-barrier` event — so
+`runtime/gputimer.parse_stage_ms` can split the ONE module's device time
+into render (ops before the barrier) and simulate (ops after) without
+breaking the single-program contract.
 
 The frame program keeps TWO state buffers and ping-pongs them explicitly —
 the descriptor-base-sliding analog (`Compute.cpp:52-62,1030-1035`): the
@@ -55,6 +64,7 @@ class FusedEngine:
         use_pallas: Optional[bool] = None,
         donate: bool = True,
         prev=None,
+        stage_markers: bool = False,
     ):
         self.config = sim_config
         self.render_config = render_config
@@ -101,6 +111,7 @@ class FusedEngine:
 
         self._step_core = step_core
         self._donate = donate
+        self.stage_markers = stage_markers
         self._fused = self._rebuild_fused()
 
         if prev is not None:
@@ -169,8 +180,35 @@ class FusedEngine:
                     ),
                 )
             # ...while/then integrating to N+1, all inside one program
+            marker = None
+            if self.stage_markers:
+                # Stage boundary for the fused per-stage timer: a tiny
+                # sentinel-shaped broadcast ([1, STAGE_MARKER_COLS]) of an
+                # anchor that consumes every render output, threaded with
+                # the state through an optimization barrier. The barrier
+                # is bitwise inert (state passes through untouched) but
+                # (a) forces every sim op after every render op and
+                # (b) the sentinel shape is searchable in the profiler's
+                # op stream (`gputimer.parse_stage_ms` splits there; the
+                # opt-barrier op itself emits no trace event on TPU).
+                from multi_adapter_particles_tpu.runtime.gputimer import (
+                    STAGE_MARKER_COLS,
+                )
+
+                anchor = (
+                    out.frame.ravel()[0].astype(jnp.float32)
+                    + out.truncated.astype(jnp.float32)
+                    + out.span_y.astype(jnp.float32)
+                    + out.span_x.astype(jnp.float32)
+                )
+                marker = jnp.broadcast_to(anchor, (1, STAGE_MARKER_COLS))
+                state, marker = jax.lax.optimization_barrier(
+                    (state, marker)
+                )
             new_state = step_core(state, num_sim)
-            return new_state, out
+            # marker rides as an aux output so its producer can't be
+            # dead-code-eliminated (None when markers are off)
+            return new_state, out, marker
 
         return jax.jit(
             fused,
@@ -221,7 +259,7 @@ class FusedEngine:
                 jnp.int32(nd),
             )
             self._arg_key = akey
-        new_state, self._frame = self._fused(
+        new_state, self._frame, _marker = self._fused(
             self.state,
             self._scratch,
             *self._arg_dev,

@@ -45,6 +45,15 @@ DEFAULT_STAGE_PATTERNS: Dict[str, Tuple[str, ...]] = {
     "frame": ("fused",),
 }
 
+# Fused-mode stage boundary (see runtime/fused.py stage_markers): the
+# frame program broadcasts its render anchor to this sentinel column
+# width, making the boundary op's OUTPUT SHAPE searchable in the op
+# stream — the opt-barrier op itself generates no code and therefore no
+# trace event on TPU. 61 never occurs as a natural lane width here
+# (frame widths are multiples of 16, state rows are 3/4-wide).
+STAGE_MARKER_COLS = 61
+_MARKER_TOKENS = ("opt-barrier", f"f32[1,{STAGE_MARKER_COLS}]")
+
 
 def parse_stage_ms(
     profile_data,
@@ -60,11 +69,32 @@ def parse_stage_ms(
     chunked renderer issues one `_render` per chunk; dividing by its own
     count under-reported a 16.8M render 4x) — falling back to the
     stage's own count (render-only traces).
+
+    Fused mode (the reference shows per-stage times in BOTH modes,
+    `Particles.cpp:399-409`): the one `fused` module's op stream is
+    split at the `opt-barrier` stage marker the frame program plants
+    between its render and sim stages (`FusedEngine stage_markers`) —
+    ops before the barrier are the render stage, ops after it the sim
+    stage. Those land on the same "render"/"simulate" rows, per frame.
     """
     totals: Dict[str, float] = {}
     counts: Dict[str, int] = {}
     for plane in profile_data.planes:
+        fused_spans = []  # (start_ns, end_ns) of each fused execution
+        op_events = None
         for line in plane.lines:
+            if line.name == "XLA Ops":
+                # materialize: line.events is a one-shot iterator and the
+                # span loop below walks it once per fused execution
+                op_events = [
+                    (
+                        getattr(ev, "start_ns", None),
+                        getattr(ev, "duration_ns", None),
+                        ev.name,
+                    )
+                    for ev in line.events
+                ]
+                continue
             if line.name != "XLA Modules":
                 continue
             for event in line.events:
@@ -76,7 +106,35 @@ def parse_stage_ms(
                             continue
                         totals[stage] = totals.get(stage, 0.0) + dur_ns
                         counts[stage] = counts.get(stage, 0) + 1
+                        if stage == "frame":
+                            fused_spans.append(
+                                (event.start_ns, event.end_ns)
+                            )
                         break
+        if not fused_spans or op_events is None:
+            continue
+        # split each fused execution's op stream at its stage marker
+        for span_start, span_end in fused_spans:
+            barrier_ns = None
+            ops = []
+            for s, d, name in op_events:
+                if s is None or d is None:
+                    continue
+                if s < span_start or s >= span_end:
+                    continue
+                if any(t in name for t in _MARKER_TOKENS):
+                    if barrier_ns is None:
+                        barrier_ns = s
+                    continue  # the marker itself belongs to neither stage
+                ops.append((s, d))
+            if barrier_ns is None:
+                continue  # markers off: module-level "frame" row only
+            for s, d in ops:
+                stage = "render" if s < barrier_ns else "simulate"
+                totals[stage] = totals.get(stage, 0.0) + d
+            # one render + one simulate sample per fused execution
+            counts["render"] = counts.get("render", 0) + 1
+            counts["simulate"] = counts.get("simulate", 0) + 1
     frames = counts.get("simulate") or counts.get("frame")
     out: Dict[str, float] = {}
     for stage in totals:

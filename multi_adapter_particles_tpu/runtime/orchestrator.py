@@ -128,6 +128,7 @@ class ParticlesApp:
                 self.sim_config, self._active_render_config(),
                 compute_ad.device, self.metrics, seed=seed,
                 donate=not debug,
+                stage_markers=self.stage_timer is not None,
             )
             # one object serves both roles (zero copies, one program)
             self.compute = self.fused_engine
@@ -387,6 +388,7 @@ class ParticlesApp:
                 self.sim_config, self._active_render_config(),
                 self.compute_adapter.device, self.metrics,
                 prev=old, donate=not self.debug,
+                stage_markers=old.stage_markers,
             )
             self.fused_engine.camera = old.camera
             # the lossless dup window is learned state (auto-raise):

@@ -1,0 +1,72 @@
+"""Persistent XLA compilation cache (VERDICT r4 — Weak #4 / Next #3).
+
+The reference compiles its shaders at runtime on every launch, from
+files next to the exe (`/root/reference/Particles/Compute.cpp:490-503`,
+`Render.cpp:509-515`) — cheap for HLSL. Our analog of a shader build is
+an XLA compile, and those are NOT cheap over a tunneled TPU: the fused
+4M frame program alone is ~7 minutes, and every launch re-paid it.
+JAX's persistent compilation cache writes compiled executables to disk
+keyed by (HLO, compile options, toolchain); warm launches fetch instead
+of compiling.
+
+`enable()` is idempotent and safe to call before or after backend init
+(the cache config is read at compile time, not at backend-client
+creation). Wired as `-compilecache` on the CLI (auto default, like
+`-probecache`) and enabled by bench.py so the driver's per-round bench
+pays each program's compile once per toolchain, not once per round.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+def default_dir() -> str:
+    """`$XDG_CACHE_HOME`-aware default (same convention as
+    utils/probecache.default_path — and the test suite's hermetic
+    XDG_CACHE_HOME redirect keeps app-driven tests out of the real
+    ~/.cache)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "multi_adapter_particles_tpu", "xla")
+
+
+_enabled_dir: Optional[str] = None
+
+
+def enable(
+    spec: Optional[str] = "auto",
+    min_compile_time_secs: Optional[float] = None,
+) -> Optional[str]:
+    """Turn on the persistent compilation cache.
+
+    `spec`: "auto" (default — `~/.cache/multi_adapter_particles_tpu/xla`),
+    "off"/""/None (do nothing, returns None), or an explicit directory.
+    `min_compile_time_secs`: persist only compiles slower than this
+    (None keeps JAX's default, ~1 s — the multi-minute frame programs
+    are the point; sub-second jits aren't worth the disk traffic).
+    Returns the cache directory in use, or None when off. Idempotent —
+    repeat calls with a different spec re-point the cache."""
+    global _enabled_dir
+    if spec in (None, "", "off"):
+        return None
+    path = default_dir() if spec == "auto" else os.path.expanduser(spec)
+    os.makedirs(path, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    if min_compile_time_secs is not None:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(min_compile_time_secs),
+        )
+    _enabled_dir = path
+    return path
+
+
+def enabled_dir() -> Optional[str]:
+    """The directory enable() configured this process to use (None if
+    enable() was never called / was off)."""
+    return _enabled_dir

@@ -231,7 +231,8 @@ class TestMeshPotential:
         exact_fn = diagnostics.make_diagnostics(cfg, potential_mode="exact")
         vm = None
         probe = diagnostics.DiagnosticsProbe(cfg, 1, potential_mode="mesh")
-        fn = probe._build(state)  # sizes the tree pair budget from the scene
+        fn = probe._build(state, external_accel=False)
+        # ^ sizes the tree pair budget from the scene
         ve, vm = exact_fn(state), fn(state)
         assert int(vm["diag_dropped_pairs"]) == 0
         assert float(vm["potential"]) == pytest.approx(
@@ -265,6 +266,85 @@ class TestMeshPotential:
         text = repr(vals) if vals is not None else repr(vars(metrics))
         for k in got:
             assert k in text
+
+    def test_potential_only_equals_fused(self):
+        """`mesh_potential_only` (the external-accel gauge's potential)
+        must equal `mesh_potential_and_accel`'s potential to fusion-level
+        rounding: same scalar solve, same pair list, same accumulation
+        order — only the force work is skipped. (On the Pallas sweep the
+        au chain is literally unchanged; the CPU XLA fallback refuses
+        one contraction when the force channels disappear, ~1 ULP of the
+        total.)"""
+        n = 2048
+        cfg = SimConfig(num_particles=n, force_model="pm_grid",
+                        pm_grid_size=32)
+        state = self._clustered_state(n)
+        g_scale = cfg.mass * cfg.interaction_scale
+        pot_f, _accel, drop_f = diagnostics.mesh_potential_and_accel(
+            state.position, g_scale, cfg.softening_squared,
+            grid=32, box=cfg.pm_box,
+        )
+        pot_o, drop_o = diagnostics.mesh_potential_only(
+            state.position, g_scale, cfg.softening_squared,
+            grid=32, box=cfg.pm_box,
+        )
+        assert float(pot_f) == pytest.approx(float(pot_o), rel=1e-6)
+        assert int(drop_f) == int(drop_o)
+
+    def test_external_accel_path_equals_internal(self):
+        """Feeding the external-accel gauge the SAME accel the fused
+        gauge computes reproduces every gauge (to fusion-level rounding
+        of the potential-only sweep) — pins the two code paths to each
+        other."""
+        n = 2048
+        cfg = SimConfig(num_particles=n, force_model="pm_grid",
+                        pm_grid_size=32)
+        state = self._clustered_state(n)
+        g_scale = cfg.mass * cfg.interaction_scale
+        _pot, accel, _drop = diagnostics.mesh_potential_and_accel(
+            state.position, g_scale, cfg.softening_squared,
+            grid=32, box=cfg.pm_box,
+        )
+        fused = diagnostics.make_diagnostics(cfg, potential_mode="mesh")
+        ext = diagnostics.make_diagnostics(
+            cfg, potential_mode="mesh", external_accel=True
+        )
+        vi = fused(state)
+        ve = ext(state, accel)
+        assert set(vi.keys()) == set(ve.keys())
+        for k in vi:
+            assert float(vi[k]) == pytest.approx(
+                float(ve[k]), rel=1e-6, abs=1e-6
+            ), k
+
+    def test_probe_run_accel_auto(self):
+        """A pm_grid run above the exact threshold auto-threads the run's
+        own PM force into the half-kick (use_run_accel); the published
+        potential is identical to the fused probe's, and the energies
+        agree to the accel-source difference (PM vs tree, few %% on a
+        small correction term)."""
+        from multi_adapter_particles_tpu.utils.metrics import MetricsRegistry
+
+        n = 2048
+        cfg = SimConfig(num_particles=n, force_model="pm_grid",
+                        pm_grid_size=32)
+        state = self._clustered_state(n)
+        m_fast = MetricsRegistry()
+        m_full = MetricsRegistry()
+        fast = diagnostics.DiagnosticsProbe(cfg, 1, potential_mode="mesh")
+        full = diagnostics.DiagnosticsProbe(cfg, 1, potential_mode="mesh",
+                                            use_run_accel=False)
+        assert fast.use_run_accel        # auto-on: pm_grid + mesh gauge
+        assert not full.use_run_accel
+        assert fast.maybe_publish(0, state, m_fast)
+        assert full.maybe_publish(0, state, m_full)
+        gf, gu = m_fast.gauges, m_full.gauges
+        assert gf["potential"] == pytest.approx(gu["potential"], rel=1e-6)
+        assert gf["energy"] == pytest.approx(gu["energy"], rel=1e-3)
+        # central_well / exact-range configs stay on the fused path
+        assert not diagnostics.DiagnosticsProbe(
+            SimConfig(num_particles=n, force_model="central_well"), 1
+        ).use_run_accel
 
     def test_gauge_grid_table(self):
         """The gauge sizes its own mesh above 262K (measured tree-P3M

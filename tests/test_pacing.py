@@ -164,7 +164,58 @@ planes {
 """
 
 
+_XSPACE_FUSED_TEXT = """
+planes {
+  name: "/device:TPU:0"
+  lines {
+    id: 1
+    name: "XLA Modules"
+    events { metadata_id: 1 offset_ps: 0 duration_ps: 30000000000 }
+    events { metadata_id: 1 offset_ps: 40000000000 duration_ps: 30000000000 }
+  }
+  lines {
+    id: 2
+    name: "XLA Ops"
+    events { metadata_id: 2 offset_ps: 1000000000 duration_ps: 10000000000 }
+    events { metadata_id: 3 offset_ps: 11000000000 duration_ps: 8000000000 }
+    events { metadata_id: 4 offset_ps: 20000000000 duration_ps: 1000000 }
+    events { metadata_id: 5 offset_ps: 21000000000 duration_ps: 5000000000 }
+    events { metadata_id: 2 offset_ps: 41000000000 duration_ps: 10000000000 }
+    events { metadata_id: 3 offset_ps: 51000000000 duration_ps: 8000000000 }
+    events { metadata_id: 4 offset_ps: 60000000000 duration_ps: 1000000 }
+    events { metadata_id: 5 offset_ps: 61000000000 duration_ps: 7000000000 }
+  }
+  event_metadata { key: 1 value { id: 1 name: "jit_fused(99)" } }
+  event_metadata { key: 2 value { id: 2 name: "%sort.45 = (f32[262144]) sort(...)" } }
+  event_metadata { key: 3 value { id: 3 name: "%fusion.12 = f32[64,1280] fusion(...)" } }
+  event_metadata { key: 4 value { id: 4 name: "%opt-barrier = ((f32[4,512], f32[3,512]), f32[]) opt-barrier(...)" } }
+  event_metadata { key: 5 value { id: 5 name: "%fusion.99 = (f32[4,512], f32[3,512]) fusion(...)" } }
+}
+"""
+
+
 class TestProfilerStageTimer:
+    def test_parse_fused_stage_split_at_barrier(self):
+        """Fused mode restores the simulate/render pair (VERDICT r4 #6):
+        the one module's op stream splits at the planted opt-barrier —
+        ops before it are render, after it simulate, per execution."""
+        from jax.profiler import ProfileData
+
+        ms = parse_stage_ms(ProfileData.from_text_proto(_XSPACE_FUSED_TEXT))
+        assert ms["frame"] == pytest.approx(30.0)
+        assert ms["render"] == pytest.approx(18.0)          # 10 + 8 each
+        assert ms["simulate"] == pytest.approx(6.0)         # (5 + 7) / 2
+
+    def test_parse_fused_without_marker_keeps_frame_row(self):
+        """A fused trace with no opt-barrier (markers off) still reports
+        the module-level frame row and no bogus stage rows."""
+        from jax.profiler import ProfileData
+
+        txt = _XSPACE_FUSED_TEXT.replace("opt-barrier", "fusion.777")
+        ms = parse_stage_ms(ProfileData.from_text_proto(txt))
+        assert ms["frame"] == pytest.approx(30.0)
+        assert "render" not in ms and "simulate" not in ms
+
     def test_parse_stage_ms_from_device_plane(self):
         """Module durations map onto stage rows, count-normalized per
         execution; op-line and unrelated modules are ignored."""
@@ -243,6 +294,43 @@ class TestProfilerStageTimer:
             app.draw()
         app.shutdown()
         assert not app.stage_timer._disabled
+
+    def test_fused_stage_marker_bitwise_inert(self):
+        """The opt-barrier stage marker is an identity: fused runs with
+        markers on/off produce bitwise-identical states and frames."""
+        from multi_adapter_particles_tpu.config import (
+            AppConfig, RenderConfig, SimConfig,
+        )
+        from multi_adapter_particles_tpu.runtime.orchestrator import (
+            ParticlesApp,
+        )
+
+        def fused_app(markers):
+            return ParticlesApp(
+                AppConfig(num_particles=N, particle_size=10.0),
+                SimConfig(num_particles=N),
+                RenderConfig(width=256, height=256),
+                fused=True,
+                async_timers=markers,  # markers follow the stage timer
+            )
+
+        a = fused_app(True)
+        b = fused_app(False)
+        assert a.fused_engine.stage_markers
+        assert not b.fused_engine.stage_markers
+        for _ in range(4):
+            a.draw()
+            b.draw()
+        a.compute.wait_for_gpu()
+        b.compute.wait_for_gpu()
+        np.testing.assert_array_equal(
+            np.asarray(a.compute.positions), np.asarray(b.compute.positions)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.render.last_frame), np.asarray(b.render.last_frame)
+        )
+        a.shutdown()
+        b.shutdown()
 
     def test_trajectory_unchanged_by_instrumentation(self):
         """Pacing + probes are pure observers: bitwise-identical states."""

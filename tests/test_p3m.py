@@ -14,6 +14,9 @@ from multi_adapter_particles_tpu.config import SimConfig
 from multi_adapter_particles_tpu.models import init as pinit, integrator
 from multi_adapter_particles_tpu.ops import p3m, pm
 
+# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 MASS = 70000.0
 EPS2 = 25.0
 

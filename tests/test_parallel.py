@@ -366,6 +366,7 @@ class TestBitStableTrajectories:
         )
 
 
+@pytest.mark.slow
 class TestBootstrap:
     @pytest.mark.parametrize("nprocs", [2, 4])
     def test_multi_process_cluster(self, nprocs):

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 
 from multi_adapter_particles_tpu.ops.sortkv import sort_kv_stable
 
+# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def ref_sort(key, *payloads):
     out = jax.lax.sort(

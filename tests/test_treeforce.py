@@ -13,6 +13,9 @@ from multi_adapter_particles_tpu.models import integrator, oracle
 from multi_adapter_particles_tpu.ops import p3m
 from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
 
+# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 MASS = 70000.0
 EPS2 = 25.0
 

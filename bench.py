@@ -73,10 +73,11 @@ def _bench_kernel(jax, n: int) -> dict:
     from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
     from multi_adapter_particles_tpu.utils.timers import sync
 
-    # Headline = the fastest PRODUCTION all-pairs kernel: the Newton-3rd
-    # half-pair schedule (-halfpair, landed round 4 at +12.3% @1M;
-    # ops/allpairs.all_pairs_accel_halfpair). The default rectangle
-    # kernel (the bit-stable multi-chip building block) is timed too and
+    # Headline = the PRODUCTION DEFAULT all-pairs kernel: the Newton-3rd
+    # half-pair schedule (single-chip default since round 5 —
+    # SimConfig.all_pairs_half, A/B evidence in BASELINE.md;
+    # ops/allpairs.all_pairs_accel_halfpair). The rectangle kernel (the
+    # bit-stable multi-chip building block, -rectpair) is timed too and
     # reported alongside.
     rates = {}
     for label, half in (("halfpair", True), ("rect", False)):

@@ -22,8 +22,22 @@ Three measurements on the demo init:
    yardstick: if kernel-vs-kernel ~ ULP-vs-ULP, the orders are
    interchangeable and neither trajectory is privileged).
 
-Run DETACHED:
+Run DETACHED (optionally select parts, e.g. `... halfpair_ab.py 3`):
   nohup python experiments/halfpair_ab.py > /tmp/halfpair_ab.log 2>&1 &
+
+RESULTS (on-chip v5e, 2026-08-20) — the A/B that made halfpair the
+single-chip default (config.py `all_pairs_half = True`):
+
+1. accel RMS vs f64 @262K: rect 9.9e-08, halfpair 1.9e-07 — both at
+   f32 rounding noise; neither order is accuracy-privileged.
+2. worst |energy drift| over 1000 steps @65K: rect 2.60e-05,
+   halfpair 2.08e-05 — equal-or-better.
+3. chaos-normalized divergence @65K: rect-vs-half RMS distance
+   5.98e-9 / 1.20e-8 / 2.89e-8 / 1.04e-7 at steps 50/100/200/400 vs
+   the same-kernel 1-ULP yardstick 2.54e-10 / 4.86e-10 / 1.28e-9 /
+   7.35e-9 — a steady ~14-25x, i.e. switching kernels perturbs the
+   trajectory like a few-ULP nudge of one coordinate: the same
+   chaotic equivalence class, not a physics difference.
 """
 
 import os
@@ -66,39 +80,43 @@ def main():
     from multi_adapter_particles_tpu.models.state import ParticleState
     from multi_adapter_particles_tpu.ops import allpairs
 
-    print(f"backend={jax.default_backend()}", flush=True)
+    parts = set(sys.argv[1:]) or {"1", "2", "3"}
+    print(f"backend={jax.default_backend()} parts={sorted(parts)}",
+          flush=True)
 
     # ---- 1. single-step accel accuracy vs f64 @262K ----------------------
-    n = 262_144
-    cfg = SimConfig(num_particles=n, force_model="all_pairs")
-    state = pinit.initialize_particles_device(n, seed=42)
-    pos_np = np.asarray(state.position)
-    kernels = {}
-    for label, half in (("rect", False), ("halfpair", True)):
-        fn = allpairs.make_accel_fn(
-            mass=cfg.mass, softening_squared=cfg.softening_squared,
-            interaction_scale=cfg.interaction_scale, half=half,
+    if "1" in parts:
+        n = 262_144
+        cfg = SimConfig(num_particles=n, force_model="all_pairs")
+        state = pinit.initialize_particles_device(n, seed=42)
+        pos_np = np.asarray(state.position)
+        kernels = {}
+        for label, half in (("rect", False), ("halfpair", True)):
+            fn = allpairs.make_accel_fn(
+                mass=cfg.mass, softening_squared=cfg.softening_squared,
+                interaction_scale=cfg.interaction_scale, half=half,
+            )
+            acc = np.asarray(fn(state.position))
+            kernels[label] = acc
+            print(f"{label} accel computed", flush=True)
+        rng = np.random.default_rng(0)
+        targets = np.sort(rng.choice(n, 4096, replace=False))
+        t0 = time.perf_counter()
+        ref = exact_f64_accel(
+            pos_np, targets, cfg.mass, cfg.softening_squared,
+            cfg.interaction_scale,
         )
-        acc = np.asarray(fn(state.position))
-        kernels[label] = acc
-        print(f"{label} accel computed", flush=True)
-    rng = np.random.default_rng(0)
-    targets = np.sort(rng.choice(n, 4096, replace=False))
-    t0 = time.perf_counter()
-    ref = exact_f64_accel(
-        pos_np, targets, cfg.mass, cfg.softening_squared,
-        cfg.interaction_scale,
-    )
-    print(f"f64 reference ({time.perf_counter()-t0:.0f}s)", flush=True)
-    for label, acc in kernels.items():
-        e = rms_rel(acc[:, targets].astype(np.float64), ref)
-        print(f"ACCEL RMS vs f64 @262K  {label:9s} {e:.3e}", flush=True)
+        print(f"f64 reference ({time.perf_counter()-t0:.0f}s)", flush=True)
+        for label, acc in kernels.items():
+            e = rms_rel(acc[:, targets].astype(np.float64), ref)
+            print(f"ACCEL RMS vs f64 @262K  {label:9s} {e:.3e}", flush=True)
 
     # ---- 2. energy drift over 1000 steps @65K ----------------------------
     n2 = 65_536
     cfg2 = SimConfig(num_particles=n2, force_model="all_pairs")
     diag = diagnostics.make_diagnostics(cfg2, potential_mode="exact")
-    for label, half in (("rect", False), ("halfpair", True)):
+    for label, half in (("rect", False), ("halfpair", True)) \
+            if "2" in parts else ():
         fn = allpairs.make_accel_fn(
             mass=cfg2.mass, softening_squared=cfg2.softening_squared,
             interaction_scale=cfg2.interaction_scale, half=half,
@@ -127,7 +145,7 @@ def main():
         step = integrator.make_step(cfg2, accel_fn=fn, donate=False)
         s = pinit.initialize_particles_device(n2, seed=42)
         if perturb:
-            p = np.asarray(s.position)
+            p = np.array(s.position)  # writable copy
             p[0, 0] = np.nextafter(p[0, 0], np.inf, dtype=np.float32)
             s = ParticleState(jnp.asarray(p), s.velocity)
         snaps = {}
@@ -137,6 +155,8 @@ def main():
             s = step(s)
         return snaps
 
+    if "3" not in parts:
+        return 0
     a = run(False, False)
     b = run(True, False)
     c = run(False, True)

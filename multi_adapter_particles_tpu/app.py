@@ -66,9 +66,14 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
                 "self-gravity models, keeping the total mass at the "
                 "central-well value; 1.0 for central_well)",
                 lambda v: extra.__setitem__("interaction_scale", v))
+    p.add_flag("rectpair",
+               "all_pairs: use the rectangle kernel instead of the "
+               "(default, +12% faster) Newton-3rd half-pair schedule — "
+               "bitwise-matches the multi-chip bit-stable schedule",
+               lambda: extra.__setitem__("all_pairs_half", False))
     p.add_flag("halfpair",
-               "all_pairs: Newton-3rd half-pair schedule (+12% @1M; "
-               "accumulation order differs from the default kernel)",
+               "all_pairs: Newton-3rd half-pair schedule (the single-chip "
+               "default since round 5; kept for script compatibility)",
                lambda: extra.__setitem__("all_pairs_half", True))
     p.add_int("pmgrid", "pm_grid/p3m mesh resolution per axis (omit with "
               "-p3mnear tree: a scene-probed cost model picks it)",
@@ -337,7 +342,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         p3m_near_mode=near_mode,
         p3m_pair_budget=pair_budget,
         p3m_sub_pair_budget=sub_pair_budget,
-        all_pairs_half=extra.get("all_pairs_half", False),
+        all_pairs_half=extra.get(
+            "all_pairs_half", SimConfig.all_pairs_half
+        ),
     )
     render_cfg = RenderConfig(
         width=extra.get("width", RenderConfig.width),

@@ -79,12 +79,18 @@ class SimConfig:
     pm_distributed_fft: bool = False
     # all_pairs only: the Newton-3rd half-pair schedule — each pair plane
     # computed once, applied to both sides (+12.3% measured @1M; see
-    # ops/allpairs.all_pairs_accel_halfpair). OPT-IN because its
-    # accumulation order differs from the default rectangle kernel
-    # (trajectories not bitwise comparable across the two kernels; each
-    # is individually deterministic). Single-chip only — the multi-chip
-    # ring keeps the rectangle kernel.
-    all_pairs_half: bool = False
+    # ops/allpairs.all_pairs_accel_halfpair). DEFAULT since round 5: the
+    # on-chip A/B (experiments/halfpair_ab.py, 2026-08-20) measured both
+    # kernels at f32-rounding accuracy vs float64 (RMS 1.9e-7 half vs
+    # 9.9e-8 rect @262K) with equal-or-better energy drift over 1000
+    # steps (2.08e-5 vs 2.60e-5 worst @65K) — the accumulation orders
+    # are interchangeable, so the faster kernel is the default. Each is
+    # individually deterministic; trajectories are not bitwise
+    # comparable ACROSS the two kernels. Single-chip only — the
+    # multi-chip schedule keeps the rectangle kernel (its all-gathered
+    # global reduction order is the bit-stable-across-rescale contract).
+    # -rectpair / all_pairs_half=False restores the rectangle kernel.
+    all_pairs_half: bool = True
 
     def __post_init__(self):
         if self.num_particles <= 0:

@@ -30,6 +30,16 @@ Attained bytes/s = that / measured t, vs v5e HBM ~819 GB/s.
 
 Run DETACHED:
   nohup python experiments/sort_roofline.py > /tmp/sort_roofline.log 2>&1 &
+
+RESULTS (on-chip v5e, 2026-08-20, WALL ms — device attribution in
+sort_roofline2.py):
+  stable key+4f32: 2^19 19.7 | 2^20 17.9 | 2^21 22.1 | 2^22 38.7 |
+    2^23 67.6 | 2^24 128.4   (~14 ms fixed dispatch floor below 2^21)
+  operand sweep @2^22: key 9.6 | +1 15.3 | +2 19.7 | +4 38.7
+               @2^24: key 41.7 | +1 60.9 | +2 84.6 | +4 128.4
+  renderer-keys 32.7 vs presorted 31.2 vs uniform 38.7 @2^22 — wall
+    noise; device time ties exactly (roofline2: 17.098 = 17.098)
+  unstable @2^24 108.6 (-15%) | u32 key 121.1 vs i32 128.4
 """
 
 import os

@@ -13,6 +13,18 @@ stable) and the renderer's key distribution — giving the apples-to-apples
 
 Run DETACHED:
   nohup python experiments/sort_roofline2.py > /tmp/sort_roofline2.log 2>&1 &
+
+RESULTS (on-chip v5e, 2026-08-20, DEVICE sort-op ms via profiler —
+the numbers BASELINE.md's render-sort roofline is built on):
+  E=2^20: sort-op  3.080 | other-dev 0.015 | wall 21.9
+  E=2^22: sort-op 17.098 | other-dev 0.059 | wall 31.3
+  E=2^24: sort-op 92.582 | other-dev 0.174 | wall 108.6
+  E=2^22 renderer-key distribution: sort-op 17.098 — EXACTLY uniform's
+    (comparator networks are data-oblivious; microbench transfers)
+  Production: 4 chunk sorts x 17.10 = 68.4 predicted vs 65 measured
+  in-pipeline = AT the XLA sort ceiling; per-entry cost grows ~0.65
+  ns/doubling (2.94/4.08/5.52 ns at 2^20/22/24), so chunked 4x2^22
+  (68.4) beats one 2^24-class sort (92.6) — the round-4 chunking win.
 """
 
 import glob

@@ -367,6 +367,7 @@ class DiagnosticsProbe:
         self._fn = None
         self._fn_ext = None
         self._run_accel = None
+        self._probed_budget: Optional[int] = None
         self._e0: Optional[float] = None
         if use_run_accel is None:
             use_run_accel = (
@@ -385,18 +386,23 @@ class DiagnosticsProbe:
         cfg = self._config
         budget = cfg.p3m_pair_budget
         if self._needs_mesh() and budget is None:
-            import numpy as np
+            # probe once and cache: building BOTH gauge variants (a
+            # caller passing accel= on some samples only) must not pay
+            # the multi-second host pair sort twice at 4M
+            if self._probed_budget is None:
+                import numpy as np
 
-            from multi_adapter_particles_tpu.ops.treeforce import (
-                host_pair_budget,
-            )
+                from multi_adapter_particles_tpu.ops.treeforce import (
+                    host_pair_budget,
+                )
 
-            gg = _gauge_grid(cfg.num_particles, cfg.pm_grid_size)
-            r_c = cfg.p3m_cutoff_cells * cfg.pm_box / gg
-            gn = max(int(cfg.pm_box // r_c), 1)
-            budget = host_pair_budget(
-                np.asarray(state.position), cfg.pm_box, r_c, gn
-            )
+                gg = _gauge_grid(cfg.num_particles, cfg.pm_grid_size)
+                r_c = cfg.p3m_cutoff_cells * cfg.pm_box / gg
+                gn = max(int(cfg.pm_box // r_c), 1)
+                self._probed_budget = host_pair_budget(
+                    np.asarray(state.position), cfg.pm_box, r_c, gn
+                )
+            budget = self._probed_budget
         return budget
 
     def _build(self, state, external_accel: bool):

@@ -179,6 +179,25 @@ def make_accel_fn_for(config: SimConfig) -> Callable[[Array], Array]:
             sub_pair_budget=config.p3m_sub_pair_budget,
         )
 
+    # all_pairs: mirror ComputeEngine's kernel selection exactly
+    # (compute_engine.py:102-108) so "the run's own accel" contract
+    # holds — on TPU that is the Pallas kernel honoring
+    # config.all_pairs_half (the round-5 halfpair default); elsewhere
+    # the XLA rectangle fallback, which is also what make_step itself
+    # falls back to (there is no XLA halfpair variant — single-chip
+    # non-Pallas backends always run rect, so parity holds there too).
+    from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
+
+    if pallas_supported():
+        from multi_adapter_particles_tpu.ops import allpairs
+
+        return allpairs.make_accel_fn(
+            mass=config.mass,
+            softening_squared=config.softening_squared,
+            interaction_scale=config.interaction_scale,
+            half=config.all_pairs_half,
+        )
+
     def accel_fn(position, _n=config.num_particles):
         m = (
             jnp.arange(position.shape[-1]) < _n

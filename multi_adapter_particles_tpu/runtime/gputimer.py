@@ -81,19 +81,13 @@ def parse_stage_ms(
     counts: Dict[str, int] = {}
     for plane in profile_data.planes:
         fused_spans = []  # (start_ns, end_ns) of each fused execution
-        op_events = None
+        op_line = None
         for line in plane.lines:
             if line.name == "XLA Ops":
-                # materialize: line.events is a one-shot iterator and the
-                # span loop below walks it once per fused execution
-                op_events = [
-                    (
-                        getattr(ev, "start_ns", None),
-                        getattr(ev, "duration_ns", None),
-                        ev.name,
-                    )
-                    for ev in line.events
-                ]
+                # defer materializing: split-mode traces (no fused span)
+                # never need the op stream, and a 16.8M chunked-render
+                # window carries a very large one
+                op_line = line
                 continue
             if line.name != "XLA Modules":
                 continue
@@ -111,8 +105,18 @@ def parse_stage_ms(
                                 (event.start_ns, event.end_ns)
                             )
                         break
-        if not fused_spans or op_events is None:
+        if not fused_spans or op_line is None:
             continue
+        # materialize now (one-shot iterator; the span loop below walks
+        # it once per fused execution)
+        op_events = [
+            (
+                getattr(ev, "start_ns", None),
+                getattr(ev, "duration_ns", None),
+                ev.name,
+            )
+            for ev in op_line.events
+        ]
         # split each fused execution's op stream at its stage marker
         for span_start, span_end in fused_spans:
             barrier_ns = None
@@ -135,7 +139,13 @@ def parse_stage_ms(
             # one render + one simulate sample per fused execution
             counts["render"] = counts.get("render", 0) + 1
             counts["simulate"] = counts.get("simulate", 0) + 1
-    frames = counts.get("simulate") or counts.get("frame")
+    # frame count: prefer the module-level count ("frame" = one fused
+    # execution each; in split mode it is absent and the per-module
+    # "simulate" count is the frame count). NOT the marker-split sample
+    # count — a window-edge-truncated marker drops a simulate/render
+    # sample without dropping the module event, and dividing by the
+    # smaller count would inflate the frame row's k-multiplier.
+    frames = counts.get("frame") or counts.get("simulate")
     out: Dict[str, float] = {}
     for stage in totals:
         c = counts.get(stage)

@@ -50,6 +50,15 @@ def enable(
     repeat calls with a different spec re-point the cache."""
     global _enabled_dir
     if spec in (None, "", "off"):
+        # actually un-point a previously enabled cache (two app.main()
+        # calls in one process, the second with -compilecache off) —
+        # a bare return would leave jax_compilation_cache_dir at the
+        # first caller's directory
+        if _enabled_dir is not None:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", None)
+            _enabled_dir = None
         return None
     path = default_dir() if spec == "auto" else os.path.expanduser(spec)
     os.makedirs(path, exist_ok=True)

@@ -198,3 +198,46 @@ class TestInteractionScaleDefault:
         with pytest.raises(ValueError, match="minimum usable"):
             validate_cutoff_cells(2.5)
         validate_cutoff_cells(2.7)  # just above ~2.598: fine
+
+
+class TestRunAccelContract:
+    def test_make_accel_fn_for_matches_engine_kernel(self, monkeypatch):
+        """make_accel_fn_for's all_pairs branch must mirror
+        ComputeEngine's kernel selection (compute_engine.py:102-108) —
+        "the run's own accel" contract the diagnostics half-kick reuse
+        relies on. With Pallas available it honors all_pairs_half (the
+        round-5 halfpair default); rect and halfpair accumulation orders
+        are NOT bitwise comparable, so a mismatch is detectable."""
+        from multi_adapter_particles_tpu.models import init as pinit
+        from multi_adapter_particles_tpu.ops import allpairs, dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        n = 1024  # interpret-mode Pallas on CPU; halfpair tiles 512
+        state = pinit.initialize_particles_device(n, seed=3)
+        for half in (True, False):
+            cfg = SimConfig(
+                num_particles=n, force_model="all_pairs",
+                all_pairs_half=half,
+            )
+            got = np.asarray(
+                integrator.make_accel_fn_for(cfg)(state.position)
+            )
+            want = np.asarray(
+                allpairs.make_accel_fn(
+                    mass=cfg.mass,
+                    softening_squared=cfg.softening_squared,
+                    interaction_scale=cfg.interaction_scale,
+                    half=half,
+                )(state.position)
+            )
+            np.testing.assert_array_equal(got, want)
+        # and the two kernels really do differ in bits (the contract is
+        # about which one runs)
+        accels = {
+            half: np.asarray(integrator.make_accel_fn_for(SimConfig(
+                num_particles=n, force_model="all_pairs",
+                all_pairs_half=half,
+            ))(state.position))
+            for half in (True, False)
+        }
+        assert not np.array_equal(accels[True], accels[False])

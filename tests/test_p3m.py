@@ -14,9 +14,6 @@ from multi_adapter_particles_tpu.config import SimConfig
 from multi_adapter_particles_tpu.models import init as pinit, integrator
 from multi_adapter_particles_tpu.ops import p3m, pm
 
-# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
-pytestmark = pytest.mark.slow
-
 MASS = 70000.0
 EPS2 = 25.0
 
@@ -73,6 +70,7 @@ class TestShortRangeFactor:
         assert s0[0] == pytest.approx(EPS2**-1.5, rel=1e-6)
 
 
+@pytest.mark.slow
 class TestTwoBody:
     @pytest.mark.parametrize("r", [3.0, 10.0, 40.0, 100.0, 160.0, 600.0])
     def test_all_separations(self, r):
@@ -143,6 +141,7 @@ class TestTwoBody:
         assert err_pm > 5 * err_p3m  # PM visibly worse here
 
 
+@pytest.mark.slow
 class TestCluster:
     def test_matches_all_pairs_rms(self):
         """Random blob: P³M within 1% RMS of the exact sum (pure PM is
@@ -188,6 +187,7 @@ class TestCluster:
         assert np.all(total < 1e-2 * np.abs(acc).max() * 256)
 
 
+@pytest.mark.slow
 class TestOverflow:
     def test_overflow_counts_and_degrades_gracefully(self):
         """More particles in one near-cell than capacity: the count is
@@ -216,6 +216,7 @@ class TestOverflow:
         assert np.isfinite(np.asarray(a_full)).all()
 
 
+@pytest.mark.slow
 class TestShardedP3M:
     def _cfg(self, n):
         return SimConfig(
@@ -274,6 +275,7 @@ class TestShardedP3M:
         )
 
 
+@pytest.mark.slow
 class TestIntegration:
     def test_p3m_force_model_steps(self):
         cfg = SimConfig(num_particles=512, force_model="p3m",
@@ -288,6 +290,7 @@ class TestIntegration:
         assert pos[3, :512].max() > 0
 
 
+@pytest.mark.slow
 class TestTreeThroughP3M:
     def test_expanded_sweep_inside_jitted_p3m(self, monkeypatch):
         """Sub-block expansion running inside the full jitted
@@ -327,6 +330,7 @@ class TestTreeThroughP3M:
         )
 
 
+@pytest.mark.slow
 class TestShardedTreeP3M:
     """Tree near field on the mesh: target blocks partition round-robin
     across devices and the partial fields psum back — must match the

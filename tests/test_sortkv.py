@@ -13,9 +13,6 @@ import jax.numpy as jnp
 
 from multi_adapter_particles_tpu.ops.sortkv import sort_kv_stable
 
-# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
-pytestmark = pytest.mark.slow
-
 
 def ref_sort(key, *payloads):
     out = jax.lax.sort(
@@ -26,6 +23,7 @@ def ref_sort(key, *payloads):
 
 
 @pytest.mark.parametrize("e_log,bl", [(9, 9), (10, 8), (12, 10), (13, 10)])
+@pytest.mark.slow
 def test_bit_exact_vs_stable_sort(e_log, bl):
     rng = np.random.default_rng(e_log)
     e = 1 << e_log
@@ -40,6 +38,7 @@ def test_bit_exact_vs_stable_sort(e_log, bl):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_all_equal_keys_is_identity():
     e = 1 << 10
     key = jnp.zeros((e,), jnp.int32)

@@ -13,9 +13,6 @@ from multi_adapter_particles_tpu.models import integrator, oracle
 from multi_adapter_particles_tpu.ops import p3m
 from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
 
-# full-accuracy multi-minute suites: fast tier deselects with -m 'not slow'
-pytestmark = pytest.mark.slow
-
 MASS = 70000.0
 EPS2 = 25.0
 
@@ -39,6 +36,7 @@ def rms_vs_exact(acc, pos3):
     return float(np.sqrt(np.mean((np.asarray(acc) - a_ex) ** 2)) / scale)
 
 
+@pytest.mark.slow
 class TestNearFieldTree:
     def test_matches_slot_sweep_on_uniform_scene(self):
         """Where the slot sweep has zero overflow its pair set is a
@@ -217,6 +215,7 @@ class TestChebFactor:
             assert np.all(np.asarray(beyond) == 0.0)
 
 
+@pytest.mark.slow
 class TestAutoGrid:
     """auto_grid must reproduce the MEASURED grid optima on the demo
     init (on-chip sweeps, ROADMAP): G=128 at 262K, G=192 at 1M. These
@@ -287,6 +286,7 @@ class TestAutoGrid:
         assert host_pair_budget(pos, 2048.0, 216.0, 9) == int(count * 1.25) + 1
 
 
+@pytest.mark.slow
 class TestPallasSweep:
     def test_kernel_matches_xla_sweep(self, monkeypatch):
         """The VMEM sweep kernel (interpret mode on CPU) == the XLA

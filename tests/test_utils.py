@@ -168,3 +168,27 @@ class TestPresets:
             app, extra = AppConfig(), {}
             apply_preset(name, app, extra)
             assert app.num_particles > 0
+
+
+class TestCompileCache:
+    def test_enable_and_off_round_trip(self, tmp_path):
+        """enable(dir) points the JAX persistent cache there;
+        enable('off') must actually UN-point it (two app.main() calls in
+        one process, the second with -compilecache off, must not keep
+        persisting to the first caller's directory)."""
+        import jax
+
+        from multi_adapter_particles_tpu.utils import compilecache
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            d = compilecache.enable(str(tmp_path / "xla"))
+            assert d == str(tmp_path / "xla")
+            assert compilecache.enabled_dir() == d
+            assert jax.config.jax_compilation_cache_dir == d
+
+            assert compilecache.enable("off") is None
+            assert compilecache.enabled_dir() is None
+            assert jax.config.jax_compilation_cache_dir is None
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)

@@ -16,8 +16,26 @@ This harness measures the fused frame loop @262K/720p with markers off
 vs on, same windows as bench (warm 30 / timed 60, transport-aware
 pacing converged).
 
-Run DETACHED:
+Run DETACHED (`quick` = the off/on pair only):
   nohup python experiments/fused_marker_ab.py > /tmp/fused_marker_ab.log 2>&1 &
+
+RESULTS (on-chip v5e, 2026-08-20, 4-leg attribution at the ORIGINAL
+4-frames-every-64 profiler cadence):
+
+  profiler=off marker=off    8.27 ms   (bench's fused configuration)
+  profiler=on  marker=on    11.66 ms   (+3.39, the old GUI default)
+  profiler=on  marker=off   10.95 ms   -> profiler windows alone +2.68
+  profiler=off marker=on     8.91 ms   -> barrier/marker alone  +0.63
+
+The barrier that buys reference-parity simulate/render rows in fused
+mode is cheap (+7.6%); the expensive part was the async profiler TRACE
+WINDOW (~160 ms per 4-frame window over the tunnel — no host stall,
+but real device+transport time). Landed: default cadence 2 frames
+every 128 (gputimer.py) cuts the amortized profiler cost ~4.5x.
+Re-measured after the change (quick legs, same windows): ON 7.97 vs
+OFF 8.87 ms — the GUI-default overhead is now inside tunnel noise
+(the stage rows still populate from the early first window + EMA);
+`-timerwindow` tightens the cadence when a run wants fresher rows.
 """
 
 import os
@@ -91,15 +109,17 @@ def main():
 
     compilecache.enable("auto")
     print(f"backend={jax.default_backend()}", flush=True)
+    quick = "quick" in sys.argv[1:]
     off = bench_fused(False)
     on = bench_fused(True)
     print(f"combined cost: {on - off:+.2f} ms "
           f"({(on / off - 1) * 100:+.1f}%)", flush=True)
-    prof_only = bench_fused(True, force_markers=False)
-    marker_only = bench_fused(False, force_markers=True)
-    print(f"profiler-window cost alone: {prof_only - off:+.2f} ms; "
-          f"barrier/marker cost alone: {marker_only - off:+.2f} ms",
-          flush=True)
+    if not quick:
+        prof_only = bench_fused(True, force_markers=False)
+        marker_only = bench_fused(False, force_markers=True)
+        print(f"profiler-window cost alone: {prof_only - off:+.2f} ms; "
+              f"barrier/marker cost alone: {marker_only - off:+.2f} ms",
+              flush=True)
     return 0
 
 

@@ -369,7 +369,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         debug=extra.get("debug", False),
         fused=extra.get("fused", False),
         shard_render=extra.get("shard_render", False),
-        timer_window_every=extra.get("timer_window_every", 64),
+        timer_window_every=extra.get("timer_window_every", 128),
         # a -metrics dump with empty stage rows is useless: force the
         # non-stalling device-clock timer on even for -nogui/preset runs
         # (it costs one 4-frame trace window per 64 frames)

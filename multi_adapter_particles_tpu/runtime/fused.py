@@ -191,6 +191,10 @@ class FusedEngine:
                 # (b) the sentinel shape is searchable in the profiler's
                 # op stream (`gputimer.parse_stage_ms` splits there; the
                 # opt-barrier op itself emits no trace event on TPU).
+                # Measured cost of (a): +0.63 ms on the 8.3 ms fused
+                # frame @262K/720p (experiments/fused_marker_ab.py) —
+                # the scheduling it forfeits is worth ~7%, the price of
+                # the reference's both-modes timer parity.
                 from multi_adapter_particles_tpu.runtime.gputimer import (
                     STAGE_MARKER_COLS,
                 )

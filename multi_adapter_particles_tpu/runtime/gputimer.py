@@ -17,6 +17,12 @@ module instance is timed, not just the two bracketing stamps.
 
 Mechanics: every `window_every` frames the timer traces `window_frames`
 frames into a temp dir, then parses the xplane in a background thread.
+Tracing is NOT free even without host syncs: a 4-frame window measured
+~160 ms of added wall time over the tunnel (+2.68 ms/frame amortized at
+64-frame cadence, experiments/fused_marker_ab.py 2026-08-20), so the
+default duty cycle is 2 frames every 128 (~0.6 ms/frame amortized) —
+the readout still refreshes every ~2 s at 60 FPS with the EMA carrying
+history, and `-timerwindow` tightens it when a run wants fresher rows.
 Stage time per frame = sum of matching module durations / number of
 executions (count-normalization makes window edges harmless — a module's
 event is attributed whether or not the host dispatched it inside the
@@ -165,8 +171,8 @@ class ProfilerStageTimer:
         self,
         metrics: Optional[MetricsRegistry] = None,
         stage_patterns: Optional[Dict[str, Tuple[str, ...]]] = None,
-        window_every: int = 64,
-        window_frames: int = 4,
+        window_every: int = 128,
+        window_frames: int = 2,
         first_window: int = 8,
     ):
         """`first_window`: frame of the FIRST trace window. The reference

@@ -44,7 +44,7 @@ class ParticlesApp:
         debug: bool = False,
         fused: bool = False,
         async_timers: Optional[bool] = None,
-        timer_window_every: int = 64,
+        timer_window_every: int = 128,
         shard_render: bool = False,
     ):
         """`mesh_devices` > 1 runs the compute role on a mesh of that many

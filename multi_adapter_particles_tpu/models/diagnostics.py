@@ -173,20 +173,26 @@ def mesh_potential_only(
     cutoff_cells: float = 6.75,
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
+    half_pairs: bool = True,
 ) -> tuple[Array, Array]:
     """P³M-split (potential, dropped_pairs) WITHOUT the force work: no
     gradient field solves, potential-only near sweep (~2x fewer pair
-    ops). The potential matches `mesh_potential_and_accel`'s to
-    fusion-level rounding (same scalar solve, same pair list and
-    accumulation order — `ops/p3m.p3m_potential_with_overflow`). Used
-    when the run's own accel is threaded in for the half-kick
-    (VERDICT r4 #4): measured 5.1 s -> see ROADMAP for the @4M number."""
+    ops) — and, by default, the Newton-3rd HALVED pair list (round 5):
+    the pair potential is symmetric and only the total is consumed, so
+    each unordered block pair is swept once (~2x fewer interactions
+    again; `treeforce.near_field_tree(half_pairs=True)`). The total
+    matches `mesh_potential_and_accel`'s to f32 accumulation-order
+    rounding (same scalar solve, same pruning rule); `half_pairs=False`
+    restores the directed enumeration, which matches the fused gauge's
+    accumulation order exactly. Used when the run's own accel is
+    threaded in for the half-kick (VERDICT r4 #4)."""
     from multi_adapter_particles_tpu.ops import p3m
 
     u, dropped = p3m.p3m_potential_with_overflow(
         position, grid=grid, box=box, g_const=g_scale,
         softening_squared=softening_squared, cutoff_cells=cutoff_cells,
         pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+        half_pairs=half_pairs,
     )
     return 0.5 * jnp.sum(u), dropped
 
@@ -198,6 +204,7 @@ def make_diagnostics(
     potential_mode: str = "auto",
     pair_budget: int | None = None,
     external_accel: bool = False,
+    sub_pair_budget: int | None = None,
 ) -> Callable[..., Dict[str, Array]]:
     """Build the jitted `state -> {scalar gauges}` diagnostics function.
 
@@ -211,6 +218,10 @@ def make_diagnostics(
     mesh above (the exact sum at the reference-default 4M is a ~94 s
     dispatch). `pair_budget` sizes the mesh gauge's tree pair list
     (None = density-free default; `DiagnosticsProbe` probes the scene).
+    `sub_pair_budget` (None = the config's `p3m_sub_pair_budget`)
+    truncates the sweep's sub-block expansion to the probed survivor
+    count — at wide-block N (>= ~1M) the untruncated expanded list is
+    split²-fold sentinel-padded and costs extra SMEM sweep slices.
 
     `external_accel`: the returned fn takes `(state, accel)` and uses the
     SUPPLIED accel [3, Np] for the half-kick velocity sync — the run's
@@ -236,6 +247,8 @@ def make_diagnostics(
         potential_mode == "mesh"
         or (potential_mode == "auto" and n > _EXACT_MAX_N)
     )
+    if sub_pair_budget is None:
+        sub_pair_budget = config.p3m_sub_pair_budget
 
     def _central_potential(pos, mask):
         r = pos[:3]
@@ -281,7 +294,7 @@ def make_diagnostics(
                     box=config.pm_box,
                     cutoff_cells=config.p3m_cutoff_cells,
                     pair_budget=pair_budget,
-                    sub_pair_budget=config.p3m_sub_pair_budget,
+                    sub_pair_budget=sub_pair_budget,
                 )
                 extra["diag_dropped_pairs"] = dropped
             elif model in _SELF_GRAVITY:
@@ -307,7 +320,7 @@ def make_diagnostics(
                     box=config.pm_box,
                     cutoff_cells=config.p3m_cutoff_cells,
                     pair_budget=pair_budget,
-                    sub_pair_budget=config.p3m_sub_pair_budget,
+                    sub_pair_budget=sub_pair_budget,
                 )
             else:
                 # no half-kick -> no force needed: potential-only gauge
@@ -317,7 +330,7 @@ def make_diagnostics(
                     box=config.pm_box,
                     cutoff_cells=config.p3m_cutoff_cells,
                     pair_budget=pair_budget,
-                    sub_pair_budget=config.p3m_sub_pair_budget,
+                    sub_pair_budget=sub_pair_budget,
                 )
                 accel = jnp.zeros_like(pos[:3])
             extra["diag_dropped_pairs"] = dropped
@@ -368,6 +381,7 @@ class DiagnosticsProbe:
         self._fn_ext = None
         self._run_accel = None
         self._probed_budget: Optional[int] = None
+        self._probed_sub: Optional[int] = None
         self._e0: Optional[float] = None
         if use_run_accel is None:
             use_run_accel = (
@@ -383,8 +397,17 @@ class DiagnosticsProbe:
         )
 
     def _budget(self, state):
+        """-> (pair_budget, sub_pair_budget) for the gauge's tree sweep.
+
+        One cached `host_tree_counts` probe (one host Morton sort at the
+        gauge grid) sizes BOTH: the coarse block-pair budget and, when
+        the scene's adaptive block is wider than the sweep width, the
+        sub-block survivor budget — without the latter the expanded
+        sweep list is split²-fold sentinel-padded and pays extra SMEM
+        slices at multi-million N."""
         cfg = self._config
         budget = cfg.p3m_pair_budget
+        sub = cfg.p3m_sub_pair_budget
         if self._needs_mesh() and budget is None:
             # probe once and cache: building BOTH gauge variants (a
             # caller passing accel= on some samples only) must not pay
@@ -393,22 +416,30 @@ class DiagnosticsProbe:
                 import numpy as np
 
                 from multi_adapter_particles_tpu.ops.treeforce import (
-                    host_pair_budget,
+                    PAIR_HEADROOM, host_tree_counts,
                 )
 
                 gg = _gauge_grid(cfg.num_particles, cfg.pm_grid_size)
                 r_c = cfg.p3m_cutoff_cells * cfg.pm_box / gg
                 gn = max(int(cfg.pm_box // r_c), 1)
-                self._probed_budget = host_pair_budget(
+                coarse, subc, _blk = host_tree_counts(
                     np.asarray(state.position), cfg.pm_box, r_c, gn
                 )
+                self._probed_budget = int(coarse * PAIR_HEADROOM) + 1
+                self._probed_sub = (
+                    None if subc is None else int(subc * PAIR_HEADROOM) + 2
+                )
             budget = self._probed_budget
-        return budget
+            if sub is None:
+                sub = self._probed_sub
+        return budget, sub
 
     def _build(self, state, external_accel: bool):
+        budget, sub = self._budget(state)
         return make_diagnostics(
             self._config, sync=self._sync, potential_mode=self._mode,
-            pair_budget=self._budget(state), external_accel=external_accel,
+            pair_budget=budget, external_accel=external_accel,
+            sub_pair_budget=sub,
         )
 
     def maybe_publish(self, frame_count: int, state, metrics,

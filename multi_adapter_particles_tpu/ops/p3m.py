@@ -437,6 +437,7 @@ def p3m_potential_with_overflow(
     cutoff_cells: float = 6.75,
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
+    half_pairs: bool = False,
 ):
     """-> (u [N], overflow): the potential HALF of
     `p3m_accel_with_overflow(..., with_potential=True)` with none of its
@@ -445,7 +446,11 @@ def p3m_potential_with_overflow(
     rounding (same scalar mesh solve, same pair list, same accumulation
     order; bitwise on the Pallas sweep, ~1 ULP on the XLA fallback).
     The diagnostics gauge uses this when the run's own accel is threaded
-    in for the half-kick instead of recomputing a tree force."""
+    in for the half-kick instead of recomputing a tree force.
+    `half_pairs`: Newton-3rd halved near sweep (~2x fewer pair
+    interactions again) — 0.5*sum(u) is unchanged to f32
+    accumulation-order rounding, but PER-PARTICLE u entries are
+    sum-only meaningful (see `treeforce.near_field_tree`)."""
     validate_cutoff_cells(cutoff_cells)
     r_c = cutoff_cells * box / grid
     gn = max(int(box // r_c), 1)
@@ -455,7 +460,7 @@ def p3m_potential_with_overflow(
     u_near, overflow = near_field_tree(
         position, box, g_const, softening_squared, r_c, gn,
         pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
-        with_potential=True, potential_only=True,
+        with_potential=True, potential_only=True, half_pairs=half_pairs,
     )
     rows_phi = _potential_rows_long(rho, grid, box, g_const, r_c)
     u_long, inside = pm._interp_scalar(rows_phi, position, grid, box)

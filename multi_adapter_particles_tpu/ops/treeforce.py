@@ -222,6 +222,7 @@ def _sweep_kernel(
     sigma: float,
     with_potential: bool = False,
     potential_only: bool = False,
+    half_pairs: bool = False,
 ):
     # Targets and output ride the SAME [4, nb*B] SoA array as the
     # j-stream: a [nb*B, 4] operand/result lane-pads 4 -> 128 in the
@@ -251,17 +252,19 @@ def _sweep_kernel(
     yi = _col(pos_i[1:2, :])
     zi = _col(pos_i[2:3, :])
 
-    def dma(slot, t):
+    def jof(t):
         # j_idx rides SMEM as two uint16 halves per int32 word (doubles
         # the pair-list capacity under the 1 MiB SMEM roof; block ids
         # fit uint16 — the nb<=2048 adaptive cap, and sub-block
         # expansion guards sweep_nb < 2^16)
         word = jidx_ref[t >> 1]
-        j = jax.lax.shift_right_logical(
+        return jax.lax.shift_right_logical(
             word, (t & 1) * 16
         ) & jnp.int32(0xFFFF)
+
+    def dma(slot, t):
         return pltpu.make_async_copy(
-            spos_hbm.at[:, pl.ds(j * block, block)],
+            spos_hbm.at[:, pl.ds(jof(t) * block, block)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -286,7 +289,19 @@ def _sweep_kernel(
             # diagnostics variant: channel 3 (a zero row in the force-only
             # trace) carries the short-range pair potential sum
             u = short_potential_cheb(d2, eps2, jnp.float32(sigma))
-            au = au + jnp.sum(u, axis=1, keepdims=True)
+            us = jnp.sum(u, axis=1, keepdims=True)
+            if half_pairs:
+                # Newton-3rd halved pair list: the diagonal block pair is
+                # the one survivor whose [B, B] plane still holds BOTH
+                # orderings of its in-block pairs (plus each lane's self
+                # pair) — weight it 1/2 so every unordered pair lands in
+                # the total exactly once (self terms at 1/2, matched by
+                # the caller's halved self-constant subtraction).
+                w = jnp.where(
+                    jof(t) == i, jnp.float32(0.5), jnp.float32(1.0)
+                )
+                us = us * w
+            au = au + us
         if potential_only:
             # the gauge reuses the run's own accel for the half-kick
             # (VERDICT r4 #4): skip the force factor + 3 accumulate
@@ -322,7 +337,8 @@ def _sweep_kernel(
 
 
 def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
-                       with_potential=False, potential_only=False):
+                       with_potential=False, potential_only=False,
+                       half_pairs=False):
     """[4, nb*B] per-particle near sums (sorted order) via the VMEM sweep;
     channel 3 is the short-range pair potential when `with_potential`
     (zeros otherwise — the force-only trace pays no extra pair ops).
@@ -347,6 +363,7 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
     kernel = functools.partial(
         _sweep_kernel, block=block, eps2=float(eps2), sigma=float(sigma),
         with_potential=with_potential, potential_only=potential_only,
+        half_pairs=half_pairs,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -418,6 +435,7 @@ def near_field_tree(
     block_owner_fn=None,
     with_potential: bool = False,
     potential_only: bool = False,
+    half_pairs: bool = False,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -450,9 +468,23 @@ def near_field_tree(
     Pallas sweep's au chain is literally unchanged (bitwise-equal u);
     the XLA fallback matches to fusion-level rounding (~1 ULP — dropping
     the force channels changes one contraction decision).
+    `half_pairs` (requires `potential_only`): Newton-3rd halved pair
+    enumeration — the potential is symmetric (u_ij = u_ji), and the
+    gauge only consumes the TOTAL 0.5*sum(u), so each unordered block
+    pair is listed once (j >= i at sweep granularity; diagonal pairs
+    weighted 1/2 in the sweep) for ~2x fewer pair interactions. The
+    returned u is rescaled by 2 so `0.5*sum(u)` still equals the total;
+    PER-PARTICLE entries are no longer physical (cross-block
+    contributions land only on the lower block's side) and the total
+    matches the directed enumeration to f32 accumulation-order rounding,
+    not bitwise. Budgets (`pair_budget`, `sub_pair_budget`) keep their
+    probed full-directed-count semantics; the halved requirement
+    (F + diag)/2 is derived internally.
     """
     if potential_only and not with_potential:
         raise ValueError("potential_only requires with_potential=True")
+    if half_pairs and not potential_only:
+        raise ValueError("half_pairs requires potential_only=True")
     n = position.shape[1]
     if block is None:
         block = default_block(n)
@@ -526,10 +558,22 @@ def near_field_tree(
         )
         gap2 = gap2 + g * g
     m = m & (gap2 <= jnp.float32(r_c) * jnp.float32(r_c))
+    if half_pairs:
+        # keep j >= i: each unordered block pair listed once (adjacency
+        # is symmetric); the diagonal survives and is weighted 1/2 where
+        # it is swept. total/dropped below consistently count the
+        # halved list.
+        bi = jnp.arange(nb, dtype=jnp.int32)
+        m = m & (bi[None, :] >= bi[:, None])
     flat = m.reshape(nb * nb)
     total = jnp.sum(flat.astype(jnp.int32))
     p_max = pair_budget or default_pair_budget(nb)
     p_max = int(min(p_max, nb * nb))
+    if half_pairs:
+        # budgets are probed on the full directed list (host_pair_budget);
+        # the halved list holds (F + D)/2 <= (F + nb)/2 live pairs
+        # (D = live diagonal pairs)
+        p_max = min((p_max + nb) // 2 + 1, nb * nb)
     pc = int(min(pair_chunk, p_max))
     p_max = max(pc, (p_max // pc) * pc)  # pc | p_max and p_max <= nb*nb
 
@@ -619,6 +663,13 @@ def near_field_tree(
                 )
                 gap2_e = gap2_e + g * g
             near_e = gap2_e <= jnp.float32(r_c) * jnp.float32(r_c)
+            if half_pairs:
+                # a parent diagonal pair expands to BOTH sub orderings —
+                # keep one (j >= i at sweep granularity; sub-diagonals
+                # stay and are weighted 1/2 in-kernel). Parent i < j
+                # pairs always satisfy j_e > i_e, so this only prunes
+                # inside diagonals.
+                near_e = near_e & (j_e >= i_e)
             i_e = jnp.where(near_e, i_e, sweep_nb)
             sweep_i, sweep_j = jax.lax.sort(
                 (i_e, j_e), dimension=0, num_keys=1, is_stable=True
@@ -629,7 +680,15 @@ def near_field_tree(
                 # case (fewer SMEM slices at 16.8M-class N); if the scene
                 # outgrew the probe, the shortfall is counted in
                 # dropped_pairs like any other truncation
-                keep = int(min(i_e.shape[0], max(2, sub_pair_budget)))
+                keep = max(2, sub_pair_budget)
+                if half_pairs:
+                    # the budget is probed at full directed sub
+                    # granularity; halved survivors are
+                    # (S + D_sub)/2 <= (S + sweep_nb)/2. Halve the
+                    # BUDGET before clamping to the (already-halved)
+                    # list length — clamping first would halve twice.
+                    keep = (keep + sweep_nb) // 2 + 2
+                keep = int(min(i_e.shape[0], keep))
                 if block_owner_fn is None:
                     live_e = jnp.sum((sweep_i < sweep_nb).astype(jnp.int32))
                 else:
@@ -662,12 +721,12 @@ def near_field_tree(
                             0.0,
                         )
                         gap2_g = gap2_g + g * g
-                    live_e = jnp.sum(
-                        (
-                            (gap2_g <= jnp.float32(r_c) * jnp.float32(r_c))
-                            & (i_ge < sweep_nb)
-                        ).astype(jnp.int32)
-                    )
+                    live_g = (
+                        gap2_g <= jnp.float32(r_c) * jnp.float32(r_c)
+                    ) & (i_ge < sweep_nb)
+                    if half_pairs:
+                        live_g = live_g & (j_e >= i_ge)
+                    live_e = jnp.sum(live_g.astype(jnp.int32))
                 dropped = dropped + jnp.maximum(
                     live_e - keep, 0
                 )
@@ -687,7 +746,7 @@ def near_field_tree(
             acc_b = _near_sweep_pallas(
                 sx, sy, sz, bounds, sweep_j, nb=sweep_nb, block=sweep_block,
                 eps2=eps2, sigma=float(sigma), with_potential=with_potential,
-                potential_only=potential_only,
+                potential_only=potential_only, half_pairs=half_pairs,
             )
         else:
             acc_b = jnp.zeros((4, nb * block), jnp.float32)
@@ -699,7 +758,7 @@ def near_field_tree(
                     sweep_j[lo:hi], nb=sweep_nb, block=sweep_block,
                     eps2=eps2, sigma=float(sigma),
                     with_potential=with_potential,
-                    potential_only=potential_only,
+                    potential_only=potential_only, half_pairs=half_pairs,
                 )
         acc_x, acc_y, acc_z, acc_u = acc_b[0], acc_b[1], acc_b[2], acc_b[3]
     else:
@@ -711,6 +770,14 @@ def near_field_tree(
             nch = 1
         else:
             nch = 4 if with_potential else 3
+        if half_pairs:
+            # diagonal block pairs keep both in-block orderings (plus the
+            # self pairs) in their [B, B] plane — weight them 1/2 (the
+            # fallback has no sub-block expansion, so sweep granularity
+            # is block granularity here)
+            valid = valid * jnp.where(
+                j_idx == i_idx, jnp.float32(0.5), jnp.float32(1.0)
+            )
 
         def chunk_body(args):
             ii, jj, vv = args                     # each [pc]
@@ -791,12 +858,20 @@ def near_field_tree(
         owner_b = block_owner_fn(jnp.arange(nb, dtype=jnp.int32))
         gate = gate & jnp.repeat(owner_b, block)
     u_self = jnp.float32(short_potential_self(float(eps2), float(sigma)))
+    if half_pairs:
+        # the halved sweep weights the diagonal block pair 1/2, so each
+        # live particle picked up exactly half the self constant
+        u_self = u_self * jnp.float32(0.5)
     acc_u = jnp.where(gate, acc_u - u_self, 0.0)
     if potential_only:
+        # half mode rescales by 2 so the caller's 0.5*sum(u) contract
+        # holds unchanged (each unordered pair was counted once, not
+        # twice); per-particle entries are sum-only meaningful there
+        u_scale = scale * jnp.float32(2.0) if half_pairs else scale
         _, fu = jax.lax.sort(
             (spid, acc_u), dimension=0, num_keys=1, is_stable=False,
         )
-        return fu[:n] * scale, dropped
+        return fu[:n] * u_scale, dropped
     _, fx, fy, fz, fu = jax.lax.sort(
         (spid, acc_x, acc_y, acc_z, acc_u),
         dimension=0, num_keys=1, is_stable=False,

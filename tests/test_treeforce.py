@@ -638,3 +638,108 @@ class TestPotentialChannel:
             block=128,
         )
         np.testing.assert_array_equal(np.asarray(u_xla), np.asarray(u_pl))
+
+
+class TestHalfPairPotential:
+    """`half_pairs` (round 5): Newton-3rd halved potential-only
+    enumeration. The pair potential is symmetric and the gauge consumes
+    only the total 0.5*sum(u), so each unordered block pair is swept
+    once (diagonals weighted 1/2 in-sweep) — ~2x fewer pair
+    interactions. The TOTAL must match the directed enumeration to f32
+    accumulation-order rounding on every sweep path."""
+
+    def _clustered(self, n=768, seed=11):
+        rng = np.random.default_rng(seed)
+        pos3 = np.concatenate([
+            rng.normal(0, 90, (n // 2, 3)),
+            rng.normal(250, 50, (n - n // 2, 3)),
+        ]).astype(np.float32)
+        return pos3
+
+    def _total(self, pos3, half, **kw):
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        u, dropped = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn,
+            with_potential=True, potential_only=True, half_pairs=half,
+            **kw,
+        )
+        return float(0.5 * jnp.sum(u)), int(dropped)
+
+    def _assert_match(self, pos3, **kw):
+        t_dir, d_dir = self._total(pos3, False, **kw)
+        t_half, d_half = self._total(pos3, True, **kw)
+        assert d_dir == 0 and d_half == 0
+        assert t_half == pytest.approx(t_dir, rel=2e-6)
+
+    def test_total_matches_directed_xla_fallback(self):
+        self._assert_match(self._clustered())
+
+    def test_total_matches_directed_pallas_interpret(self, monkeypatch):
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        self._assert_match(self._clustered(seed=5), block=128)
+
+    def test_total_matches_on_sliced_path(self, monkeypatch):
+        """Tiny sweep_slice_cap forces the multi-invocation SMEM-sliced
+        path; halving must hold across slice boundaries."""
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        self._assert_match(
+            self._clustered(seed=7), block=128, sweep_slice_cap=8
+        )
+
+    def test_total_matches_under_subblock_expansion(self, monkeypatch):
+        """Wide blocks sub-split for the sweep: a parent diagonal pair
+        expands to BOTH sub orderings; half mode must keep exactly one
+        (and weight sub-diagonals 1/2)."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        pos3 = self._clustered(n=1024, seed=13)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        cap = treeforce.host_sub_pair_budget(
+            aos(pos3), box, r_c, gn
+        )
+        self._assert_match(
+            pos3, block=128,
+            **({} if cap is None else {"sub_pair_budget": cap}),
+        )
+
+    def test_probed_budget_never_drops_in_half_mode(self):
+        """`pair_budget` keeps its full-directed-count semantics: the
+        internally derived halved cap must still cover every live halved
+        pair when the probe sized the directed budget."""
+        from multi_adapter_particles_tpu.ops import treeforce
+
+        pos3 = self._clustered(seed=23)
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        budget = treeforce.host_pair_budget(aos(pos3), box, r_c, gn)
+        _, dropped = self._total(pos3, True, pair_budget=budget)
+        assert dropped == 0
+
+    def test_half_requires_potential_only(self):
+        pos3 = self._clustered(seed=3)
+        with pytest.raises(ValueError):
+            near_field_tree(
+                aos(pos3), 2048.0, MASS, EPS2, 216.0, 9,
+                with_potential=True, half_pairs=True,
+            )
+
+    def test_out_of_box_entries_stay_zero(self):
+        pos3 = self._clustered(seed=9)
+        pos3[:7] = 5000.0
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        u, _ = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn,
+            with_potential=True, potential_only=True, half_pairs=True,
+        )
+        u = np.asarray(u)
+        assert (u[:7] == 0.0).all()
+        assert np.isfinite(u).all()

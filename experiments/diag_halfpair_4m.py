@@ -25,8 +25,24 @@ This harness A/Bs on chip at the reference-default 4M:
 Run DETACHED (verify skill: never timeout-kill a TPU job):
   nohup python experiments/diag_halfpair_4m.py > /tmp/diag_half_4m.log 2>&1 &
 
-RESULTS: see the bottom of this docstring after the on-chip run
-(updated in place once measured).
+RESULTS (on-chip v5e, 2026-08-21; compile cache warm — compiles
+94/52/81/84 s; G=256: budget=113428 sub=995569, G=192: budget=144236
+sub=1586399):
+
+  potential-only directed (r5a)   2863.4 ms/solve   U=-2.973582e+08
+  potential-only halved   (r5b)   1832.9 ms/solve   U=-2.973582e+08
+  potential-only halved @G=192    2049.4 ms/solve   (G=256 stays optimal)
+  full probe sample, halved       2164.0 ms/sample  energy=-5.242560e+06
+  potential agreement directed vs halved: 1.08e-07 relative
+
+-36% on the potential solve from the halving alone (both rows carry the
+new sub budget); the full sample drops 3234 -> 2164 ms (-33%; the r5a
+3234 number had no sub budget, so that delta conflates the two fixes).
+The halved sweep is ~1.03 s of the 1.83 s solve (the directed-halved
+delta); the residual ~0.8 s is mesh long part + deposit + fixed costs —
+attacked next by the scalar-total path (experiments/diag_total_4m.py).
+G=192 with ~2.2x the near pairs loses even halved: the pair/mesh
+balance still favors 256 at 4M.
 """
 
 import dataclasses

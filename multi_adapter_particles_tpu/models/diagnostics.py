@@ -174,6 +174,7 @@ def mesh_potential_only(
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
     half_pairs: bool = True,
+    total_only: bool = True,
 ) -> tuple[Array, Array]:
     """P³M-split (potential, dropped_pairs) WITHOUT the force work: no
     gradient field solves, potential-only near sweep (~2x fewer pair
@@ -184,10 +185,24 @@ def mesh_potential_only(
     matches `mesh_potential_and_accel`'s to f32 accumulation-order
     rounding (same scalar solve, same pruning rule); `half_pairs=False`
     restores the directed enumeration, which matches the fused gauge's
-    accumulation order exactly. Used when the run's own accel is
-    threaded in for the half-kick (VERDICT r4 #4)."""
+    accumulation order exactly. `total_only` (default) additionally
+    computes the long part by the CIC adjoint identity and the near
+    part as a gated block-order sum
+    (`p3m.p3m_potential_total_with_overflow`) — no per-particle
+    potential array, no G³ corner-row packing, no N-row gather-back,
+    no un-sort; set False to route through the per-particle path. Used
+    when the run's own accel is threaded in for the half-kick
+    (VERDICT r4 #4)."""
     from multi_adapter_particles_tpu.ops import p3m
 
+    if total_only:
+        u_total, dropped = p3m.p3m_potential_total_with_overflow(
+            position, grid=grid, box=box, g_const=g_scale,
+            softening_squared=softening_squared, cutoff_cells=cutoff_cells,
+            pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+            half_pairs=half_pairs,
+        )
+        return 0.5 * u_total, dropped
     u, dropped = p3m.p3m_potential_with_overflow(
         position, grid=grid, box=box, g_const=g_scale,
         softening_squared=softening_squared, cutoff_cells=cutoff_cells,

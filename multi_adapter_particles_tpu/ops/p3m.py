@@ -472,6 +472,60 @@ def p3m_potential_with_overflow(
     return u_long + u_near, overflow
 
 
+def p3m_potential_total_with_overflow(
+    position: jax.Array,   # [4, N]
+    grid: int = 64,
+    box: float = 2048.0,
+    g_const: float = 1.0,
+    softening_squared: float = 25.0,
+    cutoff_cells: float = 6.75,
+    pair_budget: int | None = None,
+    sub_pair_budget: int | None = None,
+    half_pairs: bool = True,
+):
+    """-> (sum_u scalar, overflow): `sum(p3m_potential_with_overflow()[0])`
+    without ever materializing per-particle values — the diagnostics
+    gauge consumes only the total 0.5*sum(u).
+
+    Long part by the CIC ADJOINT identity: the gather-back weights are
+    the deposit weights (both sides run `pm._cic_cells` +
+    `pm._corner_weights`, and out-of-box particles are dropped/zeroed
+    identically), so
+
+        sum_i phi_gathered(x_i) = sum_c phi(c) * rho(c)
+        sum_i inside_i          = sum_c rho(c)
+
+    exactly in exact arithmetic — one elementwise G³ dot against the
+    already-deposited rho replaces the G³ corner-row packing
+    (`pm._pack_scalar_corner_rows`) AND the N-row trilinear gather-back
+    (`pm._interp_scalar`). Near part summed on the sweep's gated
+    block-order output (`near_field_tree(total_only=True)`), skipping
+    the un-sort payload sort. Matches the per-particle path's total to
+    f32 reassociation rounding (pinned in tests/test_p3m.py)."""
+    validate_cutoff_cells(cutoff_cells)
+    r_c = cutoff_cells * box / grid
+    gn = max(int(box // r_c), 1)
+    from multi_adapter_particles_tpu.ops.treeforce import near_field_tree
+
+    rho = pm.deposit_cic(position, grid, box)
+    u_near_total, overflow = near_field_tree(
+        position, box, g_const, softening_squared, r_c, gn,
+        pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
+        with_potential=True, potential_only=True, half_pairs=half_pairs,
+        total_only=True,
+    )
+    kp = _long_potential_kernel_rfft(grid, box, r_c)
+    phi = pm._irfft_pruned(pm._rfft_pruned(rho, grid) * kp, grid)
+    sigma_eff = r_c * _SIGMA_PER_CUTOFF
+    self_long = jnp.float32(
+        float((2.0 / jnp.pi) ** 0.5) / sigma_eff
+    )
+    u_long_total = jnp.float32(g_const) * (
+        jnp.sum(phi * rho) + self_long * jnp.sum(rho)
+    )
+    return u_long_total + u_near_total, overflow
+
+
 def host_overflow_count(
     position,              # array-like [4, N] (host or device)
     grid: int,

@@ -436,6 +436,7 @@ def near_field_tree(
     with_potential: bool = False,
     potential_only: bool = False,
     half_pairs: bool = False,
+    total_only: bool = False,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -480,11 +481,18 @@ def near_field_tree(
     not bitwise. Budgets (`pair_budget`, `sub_pair_budget`) keep their
     probed full-directed-count semantics; the halved requirement
     (F + diag)/2 is derived internally.
+    `total_only` (requires `potential_only`): return the SCALAR sum of
+    the per-particle potentials -> (u_total, dropped_pairs), skipping
+    the un-sort payload sort (the gauge consumes only the total; the
+    gated block-order sum equals the particle-order sum up to f32
+    reassociation). Owner-masked mesh partials still psum-compose.
     """
     if potential_only and not with_potential:
         raise ValueError("potential_only requires with_potential=True")
     if half_pairs and not potential_only:
         raise ValueError("half_pairs requires potential_only=True")
+    if total_only and not potential_only:
+        raise ValueError("total_only requires potential_only=True")
     n = position.shape[1]
     if block is None:
         block = default_block(n)
@@ -868,6 +876,10 @@ def near_field_tree(
         # holds unchanged (each unordered pair was counted once, not
         # twice); per-particle entries are sum-only meaningful there
         u_scale = scale * jnp.float32(2.0) if half_pairs else scale
+        if total_only:
+            # gated entries are already 0 for parked/non-owned rows, so
+            # the block-order sum needs no un-sort
+            return jnp.sum(acc_u) * u_scale, dropped
         _, fu = jax.lax.sort(
             (spid, acc_u), dimension=0, num_keys=1, is_stable=False,
         )

@@ -375,3 +375,65 @@ class TestShardedTreeP3M:
             np.asarray(out.position), np.asarray(ref.position),
             rtol=1e-5, atol=1e-3,
         )
+
+
+class TestPotentialTotal:
+    """`p3m_potential_total_with_overflow` (round 5): the scalar-total
+    gauge path — long part via the CIC adjoint identity
+    (sum_i phi_gathered(x_i) == sum_c phi(c)*rho(c)), near part summed
+    on the sweep's gated block-order output. Must match the
+    per-particle path's total to f32 reassociation rounding."""
+
+    def _clustered(self, n=768, seed=17):
+        rng = np.random.default_rng(seed)
+        pos3 = np.concatenate([
+            rng.normal(0, 90, (n // 2, 3)),
+            rng.normal(250, 50, (n - n // 2, 3)),
+        ]).astype(np.float32)
+        return pos3
+
+    @pytest.mark.parametrize("half", [False, True])
+    def test_total_matches_per_particle_sum(self, half):
+        pos = aos(self._clustered())
+        kw = dict(grid=16, box=2048.0, g_const=70000.0,
+                  softening_squared=25.0, half_pairs=half)
+        u, d0 = p3m.p3m_potential_with_overflow(pos, **kw)
+        tot, d1 = p3m.p3m_potential_total_with_overflow(pos, **kw)
+        assert int(d0) == int(d1) == 0
+        ref = float(jnp.sum(u))
+        assert float(tot) == pytest.approx(ref, rel=2e-6)
+
+    def test_total_with_out_of_box_particles(self):
+        """Out-of-box particles are dropped from the deposit and zeroed
+        in the gather — the adjoint identity must survive them."""
+        pos3 = self._clustered(seed=29)
+        pos3[:9] = 5000.0
+        pos = aos(pos3)
+        kw = dict(grid=16, box=2048.0, g_const=70000.0,
+                  softening_squared=25.0)
+        u, _ = p3m.p3m_potential_with_overflow(pos, **kw)
+        tot, _ = p3m.p3m_potential_total_with_overflow(pos, **kw)
+        assert float(tot) == pytest.approx(float(jnp.sum(u)), rel=2e-6)
+
+    def test_total_only_requires_potential_only(self):
+        from multi_adapter_particles_tpu.ops.treeforce import (
+            near_field_tree,
+        )
+
+        pos = aos(self._clustered(seed=3))
+        with pytest.raises(ValueError):
+            near_field_tree(
+                pos, 2048.0, 70000.0, 25.0, 216.0, 9,
+                with_potential=True, total_only=True,
+            )
+
+    def test_total_pallas_interpret_matches_xla(self, monkeypatch):
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        pos = aos(self._clustered(seed=31))
+        kw = dict(grid=16, box=2048.0, g_const=70000.0,
+                  softening_squared=25.0)
+        t_xla, _ = p3m.p3m_potential_total_with_overflow(pos, **kw)
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        t_pl, _ = p3m.p3m_potential_total_with_overflow(pos, **kw)
+        assert float(t_pl) == pytest.approx(float(t_xla), rel=2e-6)

@@ -93,6 +93,10 @@ def build_parser(app: AppConfig, extra: dict) -> ArgParser:
               "tree near-field block-pair budget (default: sized from the "
               "initial state)",
               lambda v: extra.__setitem__("p3m_pair_budget", v))
+    p.add_flag("treedirected",
+               "p3m tree: directed (both-ways) near sweep instead of the "
+               "(default) Newton-3rd halved sweep",
+               lambda: extra.__setitem__("tree_half_force", False))
     p.add_str("probecache",
               "startup-probe sidecar: auto (default, ~/.cache/"
               "multi_adapter_particles_tpu/probes.json) | off | a path — "

@@ -91,6 +91,15 @@ class SimConfig:
     # global reduction order is the bit-stable-across-rescale contract).
     # -rectpair / all_pairs_half=False restores the rectangle kernel.
     all_pairs_half: bool = True
+    # p3m tree near field: Newton-3rd halved force sweep (round 5) —
+    # each unordered block pair's plane computed once, applied to both
+    # sides (treeforce._sweep_kernel_n3). Same pair set and accuracy
+    # class as the directed sweep (ulp-order accumulation divergence,
+    # the -halfpair precedent); auto-falls-back where its static gate
+    # fails (XLA backend, sub-block-expanded scenes, multi-SMEM-slice
+    # lists, owner-masked mesh runs). -treedirected restores the
+    # directed sweep.
+    tree_half_force: bool = True
 
     def __post_init__(self):
         if self.num_particles <= 0:

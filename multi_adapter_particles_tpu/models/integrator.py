@@ -177,6 +177,7 @@ def make_accel_fn_for(config: SimConfig) -> Callable[[Array], Array]:
             near_mode=config.p3m_near_mode,
             pair_budget=config.p3m_pair_budget,
             sub_pair_budget=config.p3m_sub_pair_budget,
+            half_force=config.tree_half_force,
         )
 
     # all_pairs: mirror ComputeEngine's kernel selection exactly

@@ -345,7 +345,7 @@ def near_field_correction(
     static_argnames=(
         "grid", "box", "g_const", "softening_squared", "cutoff_cells",
         "capacity", "near_mode", "pair_budget", "sub_pair_budget",
-        "with_potential",
+        "with_potential", "half_force",
     ),
 )
 def p3m_accel_with_overflow(
@@ -360,6 +360,7 @@ def p3m_accel_with_overflow(
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
     with_potential: bool = False,
+    half_force: bool = False,
 ):
     """-> (accel [3, N], overflow): mesh long-range + pairwise short-range.
 
@@ -398,6 +399,7 @@ def p3m_accel_with_overflow(
             position, box, g_const, softening_squared, r_c, gn,
             pair_budget=pair_budget, sub_pair_budget=sub_pair_budget,
             with_potential=with_potential,
+            half_force=half_force and not with_potential,
         )
         if with_potential:
             a_near, u_near, overflow = near
@@ -559,6 +561,7 @@ def make_accel_fn(
     near_mode: str = "slots",
     pair_budget: int | None = None,
     sub_pair_budget: int | None = None,
+    half_force: bool = False,
 ):
     """Adapter matching the integrator's accel_fn signature."""
     if near_mode == "auto":
@@ -571,7 +574,7 @@ def make_accel_fn(
             softening_squared=softening_squared,
             cutoff_cells=cutoff_cells, capacity=capacity,
             near_mode=near_mode, pair_budget=pair_budget,
-            sub_pair_budget=sub_pair_budget,
+            sub_pair_budget=sub_pair_budget, half_force=half_force,
         )
 
     return accel_fn

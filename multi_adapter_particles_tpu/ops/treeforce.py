@@ -392,6 +392,216 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
     return out
 
 
+# j-accumulator VMEM budget for the Newton-3rd force sweep: one band of
+# kb source blocks lives in scratch ([4, kb*B] f32); 4 MB keeps the
+# whole budget (band + pair planes + DMA ring) inside the 16 MiB scoped
+# VMEM roof. kb*B = 256K lanes -> the 262K demo runs band-free.
+_N3_JACC_FLOATS = 1 << 20
+
+
+def _sweep_kernel_n3(
+    bounds_ref,   # SMEM [nb+1] int32 (prefetch): ABSOLUTE [s, e) of THIS
+    #               band's pairs per target in the band-major-sorted list
+    jidx_ref,     # SMEM [ceil(p/2)] int32 (prefetch): the FULL halved
+    #               band-major pair list, two uint16 halves per word
+    spos_hbm,     # [4, nb*B] ANY — sorted positions, j-stream via DMA
+    pos_i,        # [4, B] VMEM — this target block
+    iacc_out,     # [4, B] VMEM — i-side near accel for this target
+    jacc_out,     # [4, kb*B] VMEM — this band's j-side accel (negated
+    #               sublane sums), emitted once at the last grid step
+    buf,          # [_RING, 4, B] VMEM scratch — ring of source blocks
+    jacc,         # [4, kb*B] VMEM scratch — persistent across the grid
+    sem,          # [_RING] DMA semaphores
+    *,
+    block: int,
+    kb: int,
+    band_lo: int,
+    eps2: float,
+    sigma: float,
+):
+    """Newton-3rd halved force sweep (round 5): each unordered block
+    pair (i <= j) is listed once; its [B, B] pair plane is computed once
+    and applied to BOTH sides — the i-side as lane reductions (exactly
+    `_sweep_kernel`'s chains), the j-side as NEGATED sublane reductions
+    into a persistent VMEM accumulator holding one band of kb source
+    blocks (the `ops/allpairs.py` half-pair v7 structure steered by the
+    dual-tree pair list). Diagonal pairs skip the j-side: their dense
+    plane already holds both in-block orderings, so the lane sums alone
+    reproduce the directed sweep's in-block forces. Pair math
+    (short_factor_cheb, ~27 of the 33 ops/pair) is paid once per
+    unordered pair instead of twice."""
+    i = pl.program_id(0)
+    s = bounds_ref[i]
+    e = bounds_ref[i + 1]
+
+    @pl.when(i == 0)
+    def _():
+        jacc[...] = jnp.zeros_like(jacc)
+
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    d01 = (i0 - i1) * (i0 - i1)
+    eye = jnp.where(d01 > 0, jnp.float32(0.0), jnp.float32(1.0))
+
+    def _col(row):  # [1, B] -> [B, 1]
+        return jnp.sum(eye * row, axis=1, keepdims=True)
+
+    def _row(col):  # [B, 1] -> [1, B]
+        return jnp.sum(eye * col, axis=0, keepdims=True)
+
+    xi = _col(pos_i[0:1, :])
+    yi = _col(pos_i[1:2, :])
+    zi = _col(pos_i[2:3, :])
+
+    def jof(t):
+        word = jidx_ref[t >> 1]
+        return jax.lax.shift_right_logical(
+            word, (t & 1) * 16
+        ) & jnp.int32(0xFFFF)
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            spos_hbm.at[:, pl.ds(jof(t) * block, block)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def body(t, acc):
+        ax, ay, az = acc
+        slot = jax.lax.rem(t - s, _RING)
+
+        @pl.when(t + _RING - 1 < e)
+        def _():
+            dma(jax.lax.rem(t - s + _RING - 1, _RING), t + _RING - 1).start()
+
+        dma(slot, t).wait()
+        j = jof(t)
+        tile = buf[slot]
+        dx = tile[0:1, :] - xi       # [B, B] sources on lanes
+        dy = tile[1:2, :] - yi
+        dz = tile[2:3, :] - zi
+        d2 = dx * dx + dy * dy + dz * dz
+        f = short_factor_cheb(d2, eps2, jnp.float32(sigma))
+        tx = dx * f
+        ty = dy * f
+        tz = dz * f
+
+        @pl.when(j > i)
+        def _():
+            # force on the source block's particles: -sum over targets
+            sl = pl.ds((j - band_lo) * block, block)
+            jacc[0, sl] -= jnp.sum(tx, axis=0)
+            jacc[1, sl] -= jnp.sum(ty, axis=0)
+            jacc[2, sl] -= jnp.sum(tz, axis=0)
+
+        return (
+            ax + jnp.sum(tx, axis=1, keepdims=True),
+            ay + jnp.sum(ty, axis=1, keepdims=True),
+            az + jnp.sum(tz, axis=1, keepdims=True),
+        )
+
+    zero = jnp.zeros((block, 1), jnp.float32)
+
+    def prologue(r):
+        @pl.when(s + r < e)
+        def _():
+            dma(jnp.int32(r), s + r).start()
+
+    for r in range(_RING - 1):
+        prologue(r)
+
+    ax, ay, az = jax.lax.fori_loop(s, e, body, (zero, zero, zero))
+    iacc_out[:, :] = jnp.concatenate(
+        [_row(ax), _row(ay), _row(az),
+         jnp.zeros((1, block), jnp.float32)],
+        axis=0,
+    )
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        jacc_out[...] = jacc[...]
+
+
+def _near_sweep_pallas_n3(sx, sy, sz, sweep_i, sweep_j, *, nb, block,
+                          eps2, sigma):
+    """Newton-3rd halved force sweep -> [4, nb*B] near sums (sorted
+    order). `sweep_i`/`sweep_j` is the HALVED pair list (j >= i for live
+    pairs, i = nb sentinels for dead ones).
+
+    The list is re-sorted band-major (band(j) = j // kb major, i minor)
+    so each band's pairs form one contiguous range; `pm._segment_bounds`
+    over the composite key yields per-(band, target) ABSOLUTE bounds
+    into the one shared SMEM pair list, and each band runs one
+    pallas_call whose persistent [4, kb*B] VMEM accumulator collects the
+    j-side. i-side partials and per-band j-side slices add by linearity.
+    At the 262K demo (nb*B = 256K = `_N3_JACC_FLOATS`) this is a single
+    band-free call."""
+    import functools
+
+    kb = max(1, min(nb, _N3_JACC_FLOATS // (4 * block)))
+    nbands = -(-nb // kb)
+    live = sweep_i < nb
+    band = jnp.minimum(sweep_j // kb, nbands - 1)
+    key = jnp.where(live, band * nb + sweep_i, nbands * nb)
+    skey, sj = jax.lax.sort(
+        (key, sweep_j), dimension=0, num_keys=1, is_stable=True
+    )
+    bounds_all = pm._segment_bounds(skey, nbands * nb)  # [nbands*nb + 1]
+
+    p = sj.shape[0]
+    j16 = sj.astype(jnp.uint32)
+    if p % 2:
+        j16 = jnp.concatenate([j16, jnp.zeros((1,), jnp.uint32)])
+    jpacked = (
+        j16[0::2] | (j16[1::2] << jnp.uint32(16))
+    ).astype(jnp.int32)
+
+    spos = jnp.stack([sx, sy, sz, jnp.zeros_like(sx)])
+    acc = jnp.zeros((4, nb * block), jnp.float32)
+    for b in range(nbands):
+        kbb = min(kb, nb - b * kb)
+        kernel = functools.partial(
+            _sweep_kernel_n3, block=block, kb=kbb, band_lo=b * kb,
+            eps2=float(eps2), sigma=float(sigma),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((4, block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((4, block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, kbb * block), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_RING, 4, block), jnp.float32),
+                pltpu.VMEM((4, kbb * block), jnp.float32),
+                pltpu.SemaphoreType.DMA((_RING,)),
+            ],
+        )
+        iacc, jacc = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((4, nb * block), jnp.float32),
+                jax.ShapeDtypeStruct((4, kbb * block), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret_flag(),
+        )(bounds_all[b * nb:(b + 1) * nb + 1], jpacked, spos, spos)
+        acc = acc + iacc
+        lo = b * kb * block
+        acc = acc.at[:, lo:lo + kbb * block].add(jacc)
+    return acc
+
+
 def _morton(ib, bits: int):
     """[3, N] int cell coords in [0, 2^bits) -> interleaved Morton code.
 
@@ -437,6 +647,7 @@ def near_field_tree(
     potential_only: bool = False,
     half_pairs: bool = False,
     total_only: bool = False,
+    half_force: bool = False,
 ):
     """Short-range pairwise correction -> (accel [3, N], dropped_pairs).
 
@@ -486,6 +697,15 @@ def near_field_tree(
     the un-sort payload sort (the gauge consumes only the total; the
     gated block-order sum equals the particle-order sum up to f32
     reassociation). Owner-masked mesh partials still psum-compose.
+    `half_force` (force trace only; round 5): Newton-3rd HALVED force
+    sweep — each unordered block pair's [B, B] plane is computed once
+    and applied to both sides (`_sweep_kernel_n3`, the ops/allpairs.py
+    banded half-pair structure). Exact same pair set; accumulation
+    order differs from the directed sweep (f32 ulp-class trajectory
+    divergence, like `-halfpair`). Auto-falls-back to the directed
+    sweep when its static gate fails: XLA backend, sub-block-expanded
+    scenes (block > sweep width), pair lists past one SMEM slice, or
+    owner-masked mesh runs (the j-side crosses ownership).
     """
     if potential_only and not with_potential:
         raise ValueError("potential_only requires with_potential=True")
@@ -493,6 +713,9 @@ def near_field_tree(
         raise ValueError("half_pairs requires potential_only=True")
     if total_only and not potential_only:
         raise ValueError("total_only requires potential_only=True")
+    if half_force and with_potential:
+        raise ValueError("half_force is a force-trace option "
+                         "(with_potential computes its own channels)")
     n = position.shape[1]
     if block is None:
         block = default_block(n)
@@ -566,18 +789,41 @@ def near_field_tree(
         )
         gap2 = gap2 + g * g
     m = m & (gap2 <= jnp.float32(r_c) * jnp.float32(r_c))
-    if half_pairs:
+
+    from multi_adapter_particles_tpu.ops.dispatch import pallas_supported
+
+    # Newton-3rd force sweep gate — fully STATIC so the halving below
+    # and the kernel choice always agree: Pallas only (the XLA fallback
+    # has no banded accumulator), native sweep width (no sub-block
+    # expansion), single SMEM slice for the halved list, single device
+    # (the j-side crosses target ownership).
+    use_n3 = (
+        bool(half_force)
+        and pallas_supported()
+        and block <= _SWEEP_MAX_BLOCK
+        and block_owner_fn is None
+    )
+    if use_n3:
+        p_full = int(min(pair_budget or default_pair_budget(nb), nb * nb))
+        cap_n3 = sweep_slice_cap
+        if cap_n3 is None:
+            cap_n3 = 2 * ((768 * 1024) // 4 - (nb + 1))
+        if min((p_full + nb) // 2 + 1, nb * nb) > cap_n3:
+            use_n3 = False
+
+    if half_pairs or use_n3:
         # keep j >= i: each unordered block pair listed once (adjacency
         # is symmetric); the diagonal survives and is weighted 1/2 where
-        # it is swept. total/dropped below consistently count the
-        # halved list.
+        # it is swept (potential) / lane-summed once (force — its dense
+        # plane already holds both in-block orderings). total/dropped
+        # below consistently count the halved list.
         bi = jnp.arange(nb, dtype=jnp.int32)
         m = m & (bi[None, :] >= bi[:, None])
     flat = m.reshape(nb * nb)
     total = jnp.sum(flat.astype(jnp.int32))
     p_max = pair_budget or default_pair_budget(nb)
     p_max = int(min(p_max, nb * nb))
-    if half_pairs:
+    if half_pairs or use_n3:
         # budgets are probed on the full directed list (host_pair_budget);
         # the halved list holds (F + D)/2 <= (F + nb)/2 live pairs
         # (D = live diagonal pairs)
@@ -626,7 +872,12 @@ def near_field_tree(
         sweep_block, sweep_nb = block, nb
         sweep_i = jnp.where(live_pair, i_idx, nb)  # ascending
         sweep_j = j_idx
-        if block > _SWEEP_MAX_BLOCK:
+        if use_n3:
+            acc_b = _near_sweep_pallas_n3(
+                sx, sy, sz, sweep_i, sweep_j, nb=nb, block=block,
+                eps2=eps2, sigma=float(sigma),
+            )
+        if (not use_n3) and block > _SWEEP_MAX_BLOCK:
             split = block // _SWEEP_MAX_BLOCK
             sweep_block = _SWEEP_MAX_BLOCK
             sweep_nb = nb * split
@@ -750,7 +1001,9 @@ def near_field_tree(
         sweep_slice_cap = max(2, sweep_slice_cap // 2 * 2)  # even: u16 pack
         p_sweep = int(sweep_j.shape[0])
         bounds = pm._segment_bounds(sweep_i, sweep_nb)     # [sweep_nb+1]
-        if p_sweep <= sweep_slice_cap:
+        if use_n3:
+            pass  # acc_b computed by _near_sweep_pallas_n3 above
+        elif p_sweep <= sweep_slice_cap:
             acc_b = _near_sweep_pallas(
                 sx, sy, sz, bounds, sweep_j, nb=sweep_nb, block=sweep_block,
                 eps2=eps2, sigma=float(sigma), with_potential=with_potential,

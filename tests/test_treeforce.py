@@ -743,3 +743,108 @@ class TestHalfPairPotential:
         u = np.asarray(u)
         assert (u[:7] == 0.0).all()
         assert np.isfinite(u).all()
+
+
+class TestHalfForceSweep:
+    """`half_force` (round 5): Newton-3rd halved FORCE sweep — each
+    unordered block pair's plane computed once, applied to both sides
+    through the banded persistent-VMEM accumulator
+    (`_sweep_kernel_n3`). Same pair set as the directed sweep;
+    accumulation order differs (f32 ulp-class divergence, the
+    `-halfpair` precedent). The static gate must fall back to the
+    directed sweep — with identical results — wherever the banded
+    kernel does not apply."""
+
+    def _clustered(self, n=1536, seed=13):
+        rng = np.random.default_rng(seed)
+        pos3 = np.concatenate([
+            rng.normal(0, 90, (n // 2, 3)),
+            rng.normal(250, 50, (n - n // 2, 3)),
+        ]).astype(np.float32)
+        return pos3
+
+    def _accel(self, pos3, half, monkeypatch=None, **kw):
+        box, r_c = 2048.0, 216.0
+        gn = int(box // r_c)
+        a, dropped = near_field_tree(
+            aos(pos3), box, MASS, EPS2, r_c, gn, half_force=half, **kw
+        )
+        return np.asarray(a), int(dropped)
+
+    def test_matches_directed_pallas_interpret(self, monkeypatch):
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        pos3 = self._clustered()
+        a_dir, d0 = self._accel(pos3, False, block=128)
+        a_n3, d1 = self._accel(pos3, True, block=128)
+        assert d0 == 0 and d1 == 0
+        scale = np.abs(a_dir).max()
+        assert np.abs(a_n3 - a_dir).max() / scale < 1e-6
+
+    def test_banded_path_matches(self, monkeypatch):
+        """Shrinking the jacc budget forces multi-band calls; per-band
+        j-side slices must recompose the same field."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        pos3 = self._clustered(seed=5)
+        a_one, _ = self._accel(pos3, True, block=128)
+        monkeypatch.setattr(treeforce, "_N3_JACC_FLOATS", 4 * 128 * 2)
+        a_band, d = self._accel(pos3, True, block=128)
+        assert d == 0
+        scale = np.abs(a_one).max()
+        assert np.abs(a_band - a_one).max() / scale < 1e-6
+
+    def test_gate_falls_back_on_xla(self):
+        """No Pallas -> the halved list must NOT be built: results are
+        BITWISE the directed XLA fallback's."""
+        pos3 = self._clustered(seed=7)
+        a_dir, _ = self._accel(pos3, False, block=128)
+        a_n3, _ = self._accel(pos3, True, block=128)
+        np.testing.assert_array_equal(a_n3, a_dir)
+
+    def test_gate_falls_back_on_sliced_lists(self, monkeypatch):
+        """A sweep_slice_cap below the halved budget disables the banded
+        kernel (it needs the whole list in one SMEM load) — bitwise the
+        directed sliced sweep."""
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        pos3 = self._clustered(seed=9)
+        a_dir, _ = self._accel(pos3, False, block=128, sweep_slice_cap=8)
+        a_n3, _ = self._accel(pos3, True, block=128, sweep_slice_cap=8)
+        np.testing.assert_array_equal(a_n3, a_dir)
+
+    def test_gate_falls_back_on_expansion(self, monkeypatch):
+        """Sub-block-expanded scenes (block > sweep width) keep the
+        directed sweep."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        monkeypatch.setattr(treeforce, "_SWEEP_MAX_BLOCK", 32)
+        pos3 = self._clustered(n=1024, seed=11)
+        a_dir, _ = self._accel(pos3, False, block=128)
+        a_n3, _ = self._accel(pos3, True, block=128)
+        np.testing.assert_array_equal(a_n3, a_dir)
+
+    def test_half_force_rejects_potential(self):
+        pos3 = self._clustered(seed=3)
+        with pytest.raises(ValueError):
+            near_field_tree(
+                aos(pos3), 2048.0, MASS, EPS2, 216.0, 9,
+                with_potential=True, half_force=True,
+            )
+
+    def test_through_p3m_matches_directed(self, monkeypatch):
+        from multi_adapter_particles_tpu.ops import dispatch
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        pos = aos(self._clustered(seed=21))
+        kw = dict(grid=16, box=2048.0, g_const=70000.0,
+                  softening_squared=25.0, near_mode="tree")
+        a_dir, _ = p3m.p3m_accel_with_overflow(pos, **kw)
+        a_n3, _ = p3m.p3m_accel_with_overflow(pos, half_force=True, **kw)
+        a_dir, a_n3 = np.asarray(a_dir), np.asarray(a_n3)
+        scale = np.abs(a_dir).max()
+        assert np.abs(a_n3 - a_dir).max() / scale < 1e-6

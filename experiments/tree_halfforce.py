@@ -25,20 +25,37 @@ Run DETACHED (verify skill: never timeout-kill a TPU job):
 
 RESULTS (on-chip v5e, 2026-08-21):
 
-  262K demo, G=128 (budget 85451):
+  262K demo, G=128 (budget 85451; B=256, ONE band):
     directed   130.4 ms/accel   RMS vs exact 0.0838%
     halved     118.4 ms/accel   RMS vs exact 0.0838%   (-9.2%)
     halved vs directed max rel: 2.04e-07
-  1M demo, G=192: see below (appended after the run).
+  1M demo, G=192 (budget 144326; B=512 -> kb=256, EIGHT bands):
+    directed   596.1 ms/accel   RMS vs exact 0.0798%
+    halved     734.8 ms/accel   RMS vs exact 0.0798%   (+23% — REJECTED
+    at this shape; also the first 4 MB-band attempt OOM'd scoped VMEM,
+    18.32M > 16M: the band is paid twice, scratch + output block)
 
 -9% net at 262K — the same magnitude as the allpairs half-pair landing
 (+12.3%): the shared pair plane saves the ~27-op math once per
 unordered pair, but the j-side costs (3 sublane reductions + the
 banded-accumulator RMW + per-iteration predication) hand back most of
-the ideal 2x, exactly as the allpairs v7 sweep measured. Accuracy is
-IDENTICAL to the directed sweep's (same pair set; 2e-7 accumulation
-divergence), so the free ~10% lands as the single-chip default
-(`SimConfig.tree_half_force`, `-treedirected` restores).
+the ideal 2x, exactly as the allpairs v7 sweep measured.
+The 1M REGRESSION is structural: banding splits each target's pair
+stream nbands ways, and at 8 bands the average (band, target) segment
+is ~4 pairs against the 8-deep latency-bound DMA ring — the pipeline
+never fills. PRODUCTION GATE: `_N3_MAX_BANDS = 2` (static), so 262K
+runs halved (-9%) and 1M falls back to the directed sweep bitwise.
+Accuracy is IDENTICAL to the directed sweep's (same pair set; 2e-7
+accumulation divergence), so the free ~10% lands as the single-chip
+default where the gate admits it (`SimConfig.tree_half_force`,
+`-treedirected` restores). The known structural fix for wide shapes —
+a rolling j-window flushing block i's accumulator row through target
+i's own output block (single segment per target, no bands) with an
+out-of-window directed residual list — is designed but unbuilt
+(ROADMAP).
+
+Pass a third argv "fast" to skip the exact-subsample reference
+(gate-confirmation runs).
 """
 
 import os
@@ -74,18 +91,21 @@ def main():
 
     # exact reference on a subsample (chunked: K targets vs all sources;
     # a_i = g * sum_j (p_j - p_i) / d2^{3/2}, the j == i numerator is 0)
+    fast = len(sys.argv) > 3 and sys.argv[3] == "fast"
     k = 4096
-    p3_np = np.asarray(pos[:3]).astype(np.float64)
-    ck = max(8, (1 << 25) // n)
-    parts = []
-    for lo in range(0, k, ck):
-        tgt = p3_np[:, lo:lo + ck]
-        d = tgt[:, :, None] - p3_np[:, None, :]   # p_i - p_j
-        d2 = (d * d).sum(0) + 25.0
-        parts.append(-(d * (1.0 / d2 ** 1.5)[None]).sum(2) * g_const)
-    a_ex = np.concatenate(parts, axis=1)
-    scale = np.abs(a_ex).max()
-    print("exact subsample ready", flush=True)
+    a_ex = None
+    if not fast:
+        p3_np = np.asarray(pos[:3]).astype(np.float64)
+        ck = max(8, (1 << 25) // n)
+        parts = []
+        for lo in range(0, k, ck):
+            tgt = p3_np[:, lo:lo + ck]
+            d = tgt[:, :, None] - p3_np[:, None, :]   # p_i - p_j
+            d2 = (d * d).sum(0) + 25.0
+            parts.append(-(d * (1.0 / d2 ** 1.5)[None]).sum(2) * g_const)
+        a_ex = np.concatenate(parts, axis=1)
+        scale = np.abs(a_ex).max()
+        print("exact subsample ready", flush=True)
 
     accs = {}
     for label, half in (("directed", False), ("halved  ", True)):
@@ -107,9 +127,12 @@ def main():
         ms = (time.perf_counter() - t0) * 1000.0 / reps
         av = np.asarray(a)
         accs[label] = av
-        rms = float(np.sqrt(np.mean((av[:, :k] - a_ex) ** 2)) / scale)
-        print(f"{label} {ms:9.1f} ms/accel   RMS vs exact {rms:.4%}",
-              flush=True)
+        if a_ex is None:
+            print(f"{label} {ms:9.1f} ms/accel", flush=True)
+        else:
+            rms = float(np.sqrt(np.mean((av[:, :k] - a_ex) ** 2)) / scale)
+            print(f"{label} {ms:9.1f} ms/accel   RMS vs exact {rms:.4%}",
+                  flush=True)
 
     dd = np.abs(accs["halved  "] - accs["directed"]).max() / np.abs(
         accs["directed"]).max()

@@ -393,10 +393,30 @@ def _near_sweep_pallas(sx, sy, sz, bounds, j_idx, *, nb, block, eps2, sigma,
 
 
 # j-accumulator VMEM budget for the Newton-3rd force sweep: one band of
-# kb source blocks lives in scratch ([4, kb*B] f32); 4 MB keeps the
-# whole budget (band + pair planes + DMA ring) inside the 16 MiB scoped
-# VMEM roof. kb*B = 256K lanes -> the 262K demo runs band-free.
-_N3_JACC_FLOATS = 1 << 20
+# kb source blocks lives in scratch ([4, kb*B] f32) AND as the call's
+# VMEM output block — the budget is paid TWICE, next to the [B, B] pair
+# planes. B <= 256 planes are small (4 MB bands fit: 262K = ONE band);
+# B = 512 planes are ~10 MB so bands cap at 2 MB (4 MB measured OOM:
+# 18.32M > 16M scoped, 2026-08-21 1M run).
+_N3_JACC_FLOATS = 1 << 20        # block <= 256
+_N3_JACC_FLOATS_WIDE = 1 << 19   # block == 512
+
+# Band-count gate: the sweep's 8 KB source tiles are LATENCY-bound and
+# the _RING pipeline only pays off when each (band, target) pair
+# segment keeps it full. Banding splits every target's stream nbands
+# ways: measured 2026-08-21 — 262K/B=256 one band -9.2% (130.4 ->
+# 118.4 ms), 1M/B=512 eight bands +23% (596.1 -> 734.8 ms; ~4 pairs
+# per segment vs the 8-deep ring). Past this cap the directed sweep
+# wins and the gate falls back. The known structural fix is a rolling
+# j-window (flush block i's accumulator row through target i's own
+# output block — single segment per target, no bands) with an
+# out-of-window directed residual list; unbuilt, see ROADMAP.
+_N3_MAX_BANDS = 2
+
+
+def _n3_kb(nb: int, block: int) -> int:
+    floats = _N3_JACC_FLOATS if block <= 256 else _N3_JACC_FLOATS_WIDE
+    return max(1, min(nb, floats // (4 * block)))
 
 
 def _sweep_kernel_n3(
@@ -538,7 +558,7 @@ def _near_sweep_pallas_n3(sx, sy, sz, sweep_i, sweep_j, *, nb, block,
     band-free call."""
     import functools
 
-    kb = max(1, min(nb, _N3_JACC_FLOATS // (4 * block)))
+    kb = _n3_kb(nb, block)
     nbands = -(-nb // kb)
     live = sweep_i < nb
     band = jnp.minimum(sweep_j // kb, nbands - 1)
@@ -802,6 +822,7 @@ def near_field_tree(
         and pallas_supported()
         and block <= _SWEEP_MAX_BLOCK
         and block_owner_fn is None
+        and -(-nb // _n3_kb(nb, block)) <= _N3_MAX_BANDS
     )
     if use_n3:
         p_full = int(min(pair_budget or default_pair_budget(nb), nb * nb))

@@ -791,6 +791,7 @@ class TestHalfForceSweep:
         pos3 = self._clustered(seed=5)
         a_one, _ = self._accel(pos3, True, block=128)
         monkeypatch.setattr(treeforce, "_N3_JACC_FLOATS", 4 * 128 * 2)
+        monkeypatch.setattr(treeforce, "_N3_MAX_BANDS", 1 << 20)
         a_band, d = self._accel(pos3, True, block=128)
         assert d == 0
         scale = np.abs(a_one).max()
@@ -848,3 +849,16 @@ class TestHalfForceSweep:
         a_dir, a_n3 = np.asarray(a_dir), np.asarray(a_n3)
         scale = np.abs(a_dir).max()
         assert np.abs(a_n3 - a_dir).max() / scale < 1e-6
+
+    def test_gate_falls_back_past_band_cap(self, monkeypatch):
+        """More than _N3_MAX_BANDS bands would starve the DMA ring
+        (measured +23% at 1M) — the gate must take the directed sweep,
+        bitwise."""
+        from multi_adapter_particles_tpu.ops import dispatch, treeforce
+
+        monkeypatch.setattr(dispatch, "pallas_supported", lambda: True)
+        pos3 = self._clustered(seed=17)
+        a_dir, _ = self._accel(pos3, False, block=128)
+        monkeypatch.setattr(treeforce, "_N3_JACC_FLOATS", 4 * 128 * 2)
+        a_n3, _ = self._accel(pos3, True, block=128)
+        np.testing.assert_array_equal(a_n3, a_dir)

@@ -291,9 +291,13 @@ def _bench_tree(jax, n: int, grid: int, reps: int,
     budget = host_pair_budget(np.asarray(pos), box, r_c, gn)
 
     def accel():
+        # half_force mirrors the SimConfig production default (round 5:
+        # the Newton-3rd halved sweep where its static gate admits it —
+        # 262K runs halved, 1M falls back to the directed sweep bitwise)
         acc, dropped = p3m.p3m_accel_with_overflow(
             pos, grid=grid, box=box, g_const=70000.0,
             softening_squared=25.0, near_mode="tree", pair_budget=budget,
+            half_force=True,
         )
         return acc, dropped
 

@@ -150,3 +150,41 @@ def test_pm_step_time():
     _sync(state.position)
     ms = (time.perf_counter() - t0) / 3 * 1e3
     assert ms < 230.0, f"pm step {ms:.1f} ms > 230 ms gate (BENCH_r04: 152.8)"
+
+
+@requires_tpu
+def test_tree_accel_time():
+    """Tree-P3M accel @262K demo, G=128: full-bench 2026-08-21 = 97.7 ms
+    (the Newton-3rd halved sweep default; directed was 105.7 — the
+    halved landing and the round-3/4 sweep chain are the wins this
+    protects); ~1.5x gate at 150."""
+    import numpy as np
+
+    from multi_adapter_particles_tpu.models import init as pinit
+    from multi_adapter_particles_tpu.ops import p3m
+    from multi_adapter_particles_tpu.ops.treeforce import host_pair_budget
+
+    n, grid, box = 262_144, 128, 2048.0
+    state = pinit.initialize_particles_device(n, seed=42)
+    _sync(state.position)
+    pos = state.position
+    r_c = 6.75 * box / grid
+    gn = max(int(box // r_c), 1)
+    budget = host_pair_budget(np.asarray(pos), box, r_c, gn)
+
+    def accel():
+        return p3m.p3m_accel_with_overflow(
+            pos, grid=grid, box=box, g_const=70000.0 / n,
+            softening_squared=25.0, near_mode="tree", pair_budget=budget,
+            half_force=True,
+        )
+
+    acc, dropped = accel()
+    _sync(acc)
+    assert int(dropped) == 0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        acc, _ = accel()
+    _sync(acc)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    assert ms < 150.0, f"tree accel {ms:.1f} ms > 150 ms gate (bench: 97.7)"

@@ -29,6 +29,12 @@ residual 3.2 s is the short-range potential sweep itself — op-bound
 at ~80% of the VPU ceiling like the force sweep (CLAUDE.md), so the
 VERDICT-r4 ~1.6 s target would need a cheaper potential formulation,
 not more reuse. Recorded in ROADMAP.md and CLAUDE.md anchors.
+
+SUPERSEDED later in round 5: the "op-bound, no lever left" reading was
+per DIRECTED pair — the gauge only needs the total, so the Newton-3rd
+halved enumeration + probed sub budgets + the scalar-total path took
+the sample to 2073 ms (experiments/diag_halfpair_4m.py,
+experiments/diag_total_4m.py).
 """
 
 import dataclasses

@@ -35,11 +35,13 @@ RESULTS (on-chip v5e, 2026-08-21):
     at this shape; also the first 4 MB-band attempt OOM'd scoped VMEM,
     18.32M > 16M: the band is paid twice, scratch + output block)
 
--9% net at 262K — the same magnitude as the allpairs half-pair landing
-(+12.3%): the shared pair plane saves the ~27-op math once per
-unordered pair, but the j-side costs (3 sublane reductions + the
-banded-accumulator RMW + per-iteration predication) hand back most of
-the ideal 2x, exactly as the allpairs v7 sweep measured.
+-9% net at 262K. ATTRIBUTION (tree_halfforce_overhead.py, same day):
+the j-side is FREE (i-side-only variant times identical, 118.7 vs
+119.2) — the sweep at this shape is DMA-LATENCY-bound (~0.9 us/pair
+vs ~0.3 us of math), sitting on a 65 ms pair-count-insensitive
+pipeline (far field + adjacency/sorts). Halving wins by issuing half
+the DMAs and captures 94% of its structural ceiling; the earlier
+"j-side reductions eat the 2x" reading was WRONG.
 The 1M REGRESSION is structural: banding splits each target's pair
 stream nbands ways, and at 8 bands the average (band, target) segment
 is ~4 pairs against the 8-deep latency-bound DMA ring — the pipeline
